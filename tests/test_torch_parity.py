@@ -1,0 +1,160 @@
+"""Activation parity vs the reference PyTorch implementation.
+
+The reference repo at /root/reference is used as a black-box oracle: build its
+torch model with random weights, convert the state_dict with
+``convert_torch_state_dict``, and require output allclose on identical inputs.
+This is the strongest correctness gate available without the released HF
+checkpoints (BASELINE.md requires allclose vs those; the same converter and
+comparison applies once they are downloadable).
+
+Skipped automatically if torch or the reference tree is unavailable.
+"""
+import functools
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from tests.conftest import make_synthetic_batch
+from tgt_tpu.models import TGTConfig, make_model
+from tgt_tpu.models.convert import convert_torch_state_dict
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+try:
+    from lib.models.pcqm.distance_predictor import TGT_Distance
+    from lib.models.pcqm.gap_predictor import TGT_Gap
+    from lib.models.pcqm.multitask import TGT_Multi
+    HAVE_REF = True
+except Exception:  # pragma: no cover
+    HAVE_REF = False
+
+pytestmark = pytest.mark.skipif(not HAVE_REF, reason="reference tree unavailable")
+
+
+CFG = TGTConfig(node_width=32, edge_width=16, num_heads=4, model_height=3,
+                triplet_heads=4, num_dist_bins=8, upto_hop=16)
+
+
+def layer_kwargs(cfg, triplet_type):
+    return dict(
+        model_height=cfg.model_height,
+        layer_multiplier=cfg.layer_multiplier,
+        upto_hop=cfg.upto_hop,
+        embed_3d_type=cfg.embed_3d_type,
+        num_3d_kernels=cfg.num_3d_kernels,
+        node_width=cfg.node_width,
+        edge_width=cfg.edge_width,
+        num_heads=cfg.num_heads,
+        triplet_heads=cfg.triplet_heads,
+        triplet_type=triplet_type,
+        activation="gelu",
+        scale_degree=True,
+    )
+
+
+def to_torch_batch(batch):
+    out = {}
+    for k, v in batch.items():
+        t = torch.from_numpy(np.asarray(v))
+        if k in ("node_features", "distance_matrix", "feature_matrix"):
+            t = t.long()
+        else:
+            t = t.float()
+        out[k] = t
+    return out
+
+
+def run_parity(model_name, torch_cls, cfg, triplet_type, extra_torch_kwargs=None,
+               n=8, atol=2e-4):
+    kwargs = layer_kwargs(cfg, triplet_type)
+    if model_name == "distance":
+        kwargs["num_dist_bins"] = cfg.num_dist_bins
+    if model_name == "multi":
+        kwargs["num_dist_bins"] = cfg.num_dist_bins
+    if extra_torch_kwargs:
+        kwargs.update(extra_torch_kwargs)
+    torch.manual_seed(0)
+    tmodel = torch_cls(**kwargs)
+    tmodel.eval()
+    state = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    cfg = cfg.replace(triplet_type=triplet_type)
+    init, apply = make_model(model_name)
+    template = init(jax.random.PRNGKey(0), cfg)
+    params = convert_torch_state_dict(state, template, cfg)
+
+    batch = make_synthetic_batch(jax.random.PRNGKey(0), b=2, n=n, seed=7)
+    tb = to_torch_batch(batch)
+    with torch.no_grad():
+        t_out = tmodel(tb)
+
+    j_out = jax.jit(functools.partial(apply, cfg=cfg))(params, batch)
+
+    if isinstance(t_out, tuple):
+        for t, j in zip(t_out, j_out):
+            np.testing.assert_allclose(np.asarray(j), t.numpy(), atol=atol,
+                                       rtol=1e-3)
+    else:
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(), atol=atol,
+                                   rtol=1e-3)
+
+
+TRIPLET_TYPES = ["aggregate", "aggregate_ungated", "attention",
+                 "attention_ungated", "tiangular_update", "axial_attention"]
+
+
+@pytest.mark.parametrize("triplet_type", TRIPLET_TYPES)
+def test_distance_parity(triplet_type):
+    run_parity("distance", TGT_Distance, CFG, triplet_type)
+
+
+@pytest.mark.parametrize("triplet_type", ["attention", "aggregate"])
+def test_gap_parity(triplet_type):
+    run_parity("gap", TGT_Gap, CFG, triplet_type)
+
+
+def test_multi_parity():
+    run_parity("multi", TGT_Multi, CFG, "attention")
+
+
+def test_gap_parity_layer_multiplier():
+    cfg = CFG.replace(layer_multiplier=2)
+    run_parity("gap", TGT_Gap, cfg, "aggregate")
+
+
+def test_gap_parity_fourier():
+    cfg = CFG.replace(embed_3d_type="fourier")
+    run_parity("gap", TGT_Gap, cfg, "attention")
+
+
+def test_gap_parity_no_3d():
+    cfg = CFG.replace(embed_3d_type="none", triplet_type="attention")
+    # build batch without dist_input
+    torch.manual_seed(0)
+    tmodel = TGT_Gap(**{**layer_kwargs(cfg, "attention"), "embed_3d_type": "none"})
+    tmodel.eval()
+    state = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    init, apply = make_model("gap")
+    template = init(jax.random.PRNGKey(0), cfg)
+    params = convert_torch_state_dict(state, template, cfg)
+    batch = make_synthetic_batch(jax.random.PRNGKey(0), b=2, n=8, with_3d=False,
+                                 seed=7)
+    tb = to_torch_batch(batch)
+    with torch.no_grad():
+        t_out = tmodel(tb)
+    j_out = jax.jit(functools.partial(apply, cfg=cfg))(params, batch)
+    np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(), atol=2e-4,
+                               rtol=1e-3)
+
+
+def test_big_widths_parity():
+    """Closer-to-real widths catch reshape/head-layout mistakes."""
+    cfg = TGTConfig(node_width=96, edge_width=64, num_heads=8, model_height=2,
+                    triplet_heads=4, num_dist_bins=16, upto_hop=16)
+    run_parity("distance", TGT_Distance, cfg, "attention", n=12)

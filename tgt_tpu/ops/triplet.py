@@ -1,0 +1,325 @@
+"""Triplet interaction layers — third-order edge-channel ops, pure-jnp reference.
+
+Six variants with semantics matching the reference registry
+(lib/tgt/layers/triplet.py:6-20): ``aggregate``, ``aggregate_ungated``,
+``attention``, ``attention_ungated``, ``triangular_update``, ``axial_attention``.
+(The reference registry key for triangular update is the typo
+'tiangular_update' — we accept both spellings.)
+
+All operate on the edge channel e in (b, N, N, W) with additive mask
+(b, N, N, 1). For a pair (i, j), the "in" direction aggregates over edges
+(j, k) weighted by information at (i, k); the "out" direction mirrors with
+transposed indexing.
+
+Quirk replicated deliberately for checkpoint parity: in the *gated aggregate*
+variant the out-direction softmax/gates are NOT masked
+(lib/tgt/layers/triplet.py:63-64), so padded rows contribute (their weights
+come from layernormed padding states). This makes outputs depend on padding
+content exactly as the reference does.
+
+These are the correctness oracles / XLA fallbacks; fused blockwise Pallas
+kernels that avoid materializing the (b,N,N,N,h) logits in HBM live in
+ops/pallas/triplet_kernels.py.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tgt_tpu.ops.common import (Params, dropout, layernorm, layernorm_init,
+                                linear, linear_init, siglin)
+
+
+# ---------------------------------------------------------------------------
+# aggregate (gated / ungated) — O(N^3 * d) with N^2 logits
+# ---------------------------------------------------------------------------
+
+def triplet_aggregate_init(rng: jax.Array, edge_width: int, num_heads: int,
+                           gated: bool = True) -> Dict[str, Params]:
+    ks = jax.random.split(rng, 3)
+    p = {
+        "tri_ln_e": layernorm_init(edge_width),
+        "lin_V": linear_init(ks[0], edge_width, edge_width * 2),
+        "lin_O": linear_init(ks[2], edge_width * 2, edge_width),
+    }
+    if gated:
+        p["lin_EG"] = linear_init(ks[1], edge_width, num_heads * 4)
+    else:
+        p["lin_E"] = linear_init(ks[1], edge_width, num_heads * 2)
+    return p
+
+
+def triplet_aggregate(p: Dict[str, Params], e: jnp.ndarray, mask: jnp.ndarray,
+                      *, num_heads: int, attention_dropout: float = 0.0,
+                      deterministic: bool = True,
+                      rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Gated triplet aggregation (reference: triplet.py:22-73)."""
+    b, n, _, w = e.shape
+    d = w // num_heads
+    e_ln = layernorm(p["tri_ln_e"], e)
+
+    v_in, v_out = jnp.split(linear(p["lin_V"], e_ln), 2, axis=-1)
+    e_in, g_in, e_out, g_out = jnp.split(linear(p["lin_EG"], e_ln), 4, axis=-1)
+
+    v_in = v_in.reshape(b, n, n, d, num_heads)
+    v_out = v_out.reshape(b, n, n, d, num_heads)
+
+    r_in, r_out = (None, None) if deterministic else jax.random.split(rng)
+
+    gates_in = jax.nn.sigmoid(g_in + mask)
+    a_in = jax.nn.softmax(e_in + mask, axis=2) * gates_in
+    a_in = dropout(r_in, a_in, attention_dropout, deterministic)
+    va_in = jnp.einsum("bikh,bjkdh->bijdh", a_in, v_in)
+
+    # NOTE: out-direction deliberately unmasked (reference quirk, see module doc)
+    gates_out = jax.nn.sigmoid(g_out)
+    a_out = jax.nn.softmax(e_out, axis=1) * gates_out
+    a_out = dropout(r_out, a_out, attention_dropout, deterministic)
+    va_out = jnp.einsum("bkih,bkjdh->bijdh", a_out, v_out)
+
+    va = jnp.concatenate([va_in, va_out], axis=-1).reshape(b, n, n, w * 2)
+    return linear(p["lin_O"], va)
+
+
+def triplet_aggregate_ungated(p: Dict[str, Params], e: jnp.ndarray,
+                              mask: jnp.ndarray, *, num_heads: int,
+                              attention_dropout: float = 0.0,
+                              deterministic: bool = True,
+                              rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Ungated triplet aggregation (reference: triplet.py:77-127) — both
+    directions masked here, unlike the gated variant."""
+    b, n, _, w = e.shape
+    d = w // num_heads
+    e_ln = layernorm(p["tri_ln_e"], e)
+
+    v_in, v_out = jnp.split(linear(p["lin_V"], e_ln), 2, axis=-1)
+    e_in, e_out = jnp.split(linear(p["lin_E"], e_ln), 2, axis=-1)
+
+    v_in = v_in.reshape(b, n, n, d, num_heads)
+    v_out = v_out.reshape(b, n, n, d, num_heads)
+
+    r_in, r_out = (None, None) if deterministic else jax.random.split(rng)
+
+    a_in = jax.nn.softmax(e_in + mask, axis=2)
+    a_in = dropout(r_in, a_in, attention_dropout, deterministic)
+    va_in = jnp.einsum("bikh,bjkdh->bijdh", a_in, v_in)
+
+    a_out = jax.nn.softmax(e_out + mask, axis=1)
+    a_out = dropout(r_out, a_out, attention_dropout, deterministic)
+    va_out = jnp.einsum("bkih,bkjdh->bijdh", a_out, v_out)
+
+    va = jnp.concatenate([va_in, va_out], axis=-1).reshape(b, n, n, w * 2)
+    return linear(p["lin_O"], va)
+
+
+# ---------------------------------------------------------------------------
+# triangular update — AlphaFold-style gated triangle multiplication
+# ---------------------------------------------------------------------------
+
+def triangular_update_init(rng: jax.Array, edge_width: int,
+                           num_heads: int) -> Dict[str, Params]:
+    ks = jax.random.split(rng, 3)
+    return {
+        "tri_ln_e": layernorm_init(edge_width),
+        "lin_V": linear_init(ks[0], edge_width, num_heads * 4),
+        "lin_E": linear_init(ks[1], edge_width, num_heads * 4),
+        "lin_O": linear_init(ks[2], num_heads * 2, edge_width * 2),
+    }
+
+
+def triangular_update(p: Dict[str, Params], e: jnp.ndarray, mask: jnp.ndarray,
+                      *, num_heads: int, attention_dropout: float = 0.0,
+                      deterministic: bool = True,
+                      rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Gated linear triangle multiplication (reference: triplet.py:134-176)."""
+    e_ln = layernorm(p["tri_ln_e"], e)
+
+    v_in_g, v_in_l, v_out_g, v_out_l = jnp.split(linear(p["lin_V"], e_ln), 4, axis=-1)
+    e_in_g, e_in_l, e_out_g, e_out_l = jnp.split(linear(p["lin_E"], e_ln), 4, axis=-1)
+
+    v_in = siglin(v_in_g + mask, v_in_l)
+    v_out = siglin(v_out_g + mask, v_out_l)
+    e_in = siglin(e_in_g + mask, e_in_l)
+    e_out = siglin(e_out_g + mask, e_out_l)
+
+    va_in = jnp.einsum("bikh,bjkh->bijh", e_in, v_in)
+    va_out = jnp.einsum("bkih,bkjh->bijh", e_out, v_out)
+
+    va = jnp.concatenate([va_in, va_out], axis=-1)
+    out_g, out_l = jnp.split(linear(p["lin_O"], va), 2, axis=-1)
+    return siglin(out_g, out_l)
+
+
+# ---------------------------------------------------------------------------
+# attention (gated / ungated) and axial attention — O(N^3) logits
+# ---------------------------------------------------------------------------
+
+def triplet_attention_init(rng: jax.Array, edge_width: int, num_heads: int,
+                           gated: bool = True) -> Dict[str, Params]:
+    ks = jax.random.split(rng, 5)
+    bias_dim = num_heads * 2 if gated else num_heads
+    bias_name = "lin_EG" if gated else "lin_E"
+    return {
+        "tri_ln_e": layernorm_init(edge_width),
+        "lin_QKV_in": linear_init(ks[0], edge_width, edge_width * 3),
+        f"{bias_name}_in": linear_init(ks[1], edge_width, bias_dim),
+        "lin_QKV_out": linear_init(ks[2], edge_width, edge_width * 3),
+        f"{bias_name}_out": linear_init(ks[3], edge_width, bias_dim),
+        "lin_O": linear_init(ks[4], edge_width * 2, edge_width),
+    }
+
+
+def _triplet_attention_impl(p, e, mask, *, num_heads, gated, attention_dropout,
+                            deterministic, rng):
+    b, n, _, w = e.shape
+    d = w // num_heads
+    scale = d ** -0.5
+    e_ln = layernorm(p["tri_ln_e"], e)
+    r_in, r_out = (None, None) if deterministic else jax.random.split(rng)
+
+    # ---- "in" direction: for (i,j) attend over k via edges (j,k),
+    #      biased/gated by (i,k) -------------------------------------------
+    q_in, k_in, v_in = jnp.split(linear(p["lin_QKV_in"], e_ln), 3, axis=-1)
+    q_in = q_in.reshape(b, n, n, d, num_heads) * scale
+    k_in = k_in.reshape(b, n, n, d, num_heads)
+    v_in = v_in.reshape(b, n, n, d, num_heads)
+
+    if gated:
+        e_b, g_b = jnp.split(linear(p["lin_EG_in"], e_ln), 2, axis=-1)
+    else:
+        e_b = linear(p["lin_E_in"], e_ln)
+    e_bias_in = e_b[:, :, None]                      # (b, i, 1, k, h)
+    mask_in = mask[:, :, None]                       # (b, i, 1, k, 1)
+
+    h_in = jnp.einsum("bijdh,bjkdh->bijkh", q_in, k_in) + e_bias_in
+    a_in = jax.nn.softmax(h_in + mask_in, axis=3)
+    if gated:
+        a_in = a_in * jax.nn.sigmoid(g_b[:, :, None] + mask_in)
+    a_in = dropout(r_in, a_in, attention_dropout, deterministic)
+    va_in = jnp.einsum("bijkh,bjkdh->bijdh", a_in, v_in)
+
+    # ---- "out" direction: softmax over k of logits indexed (k,i,j) --------
+    q_out, k_out, v_out = jnp.split(linear(p["lin_QKV_out"], e_ln), 3, axis=-1)
+    q_out = q_out.reshape(b, n, n, d, num_heads) * scale
+    k_out = k_out.reshape(b, n, n, d, num_heads)
+    v_out = v_out.reshape(b, n, n, d, num_heads)
+
+    if gated:
+        e_b2, g_b2 = jnp.split(linear(p["lin_EG_out"], e_ln), 2, axis=-1)
+    else:
+        e_b2 = linear(p["lin_E_out"], e_ln)
+    e_bias_out = e_b2[:, :, :, None]                 # (b, k, i, 1, h)
+    mask_out = mask[:, :, :, None]                   # (b, k, i, 1, 1)
+
+    h_out = jnp.einsum("bijdh,bkjdh->bkijh", q_out, k_out) + e_bias_out
+    a_out = jax.nn.softmax(h_out + mask_out, axis=1)
+    if gated:
+        a_out = a_out * jax.nn.sigmoid(g_b2[:, :, :, None] + mask_out)
+    a_out = dropout(r_out, a_out, attention_dropout, deterministic)
+    va_out = jnp.einsum("bkijh,bkjdh->bijdh", a_out, v_out)
+
+    va = jnp.concatenate([va_in, va_out], axis=-1).reshape(b, n, n, w * 2)
+    return linear(p["lin_O"], va)
+
+
+def triplet_attention(p, e, mask, *, num_heads, attention_dropout=0.0,
+                      deterministic=True, rng=None):
+    """Gated triplet attention (reference: triplet.py:179-250)."""
+    return _triplet_attention_impl(p, e, mask, num_heads=num_heads, gated=True,
+                                   attention_dropout=attention_dropout,
+                                   deterministic=deterministic, rng=rng)
+
+
+def triplet_attention_ungated(p, e, mask, *, num_heads, attention_dropout=0.0,
+                              deterministic=True, rng=None):
+    """Ungated triplet attention (reference: triplet.py:253-322)."""
+    return _triplet_attention_impl(p, e, mask, num_heads=num_heads, gated=False,
+                                   attention_dropout=attention_dropout,
+                                   deterministic=deterministic, rng=rng)
+
+
+def axial_attention_init(rng: jax.Array, edge_width: int,
+                         num_heads: int) -> Dict[str, Params]:
+    ks = jax.random.split(rng, 3)
+    return {
+        "tri_ln_e": layernorm_init(edge_width),
+        "lin_QKV_in": linear_init(ks[0], edge_width, edge_width * 3),
+        "lin_QKV_out": linear_init(ks[1], edge_width, edge_width * 3),
+        "lin_O": linear_init(ks[2], edge_width * 2, edge_width),
+    }
+
+
+def axial_attention(p, e, mask, *, num_heads, attention_dropout=0.0,
+                    deterministic=True, rng=None):
+    """Row/column attention without E/G bias (reference: triplet.py:325-387)."""
+    b, n, _, w = e.shape
+    d = w // num_heads
+    scale = d ** -0.5
+    e_ln = layernorm(p["tri_ln_e"], e)
+    r_in, r_out = (None, None) if deterministic else jax.random.split(rng)
+
+    q_in, k_in, v_in = jnp.split(linear(p["lin_QKV_in"], e_ln), 3, axis=-1)
+    q_in = q_in.reshape(b, n, n, d, num_heads) * scale
+    k_in = k_in.reshape(b, n, n, d, num_heads)
+    v_in = v_in.reshape(b, n, n, d, num_heads)
+
+    h_in = jnp.einsum("bijdh,bjkdh->bijkh", q_in, k_in)
+    a_in = jax.nn.softmax(h_in + mask[:, :, None], axis=3)
+    a_in = dropout(r_in, a_in, attention_dropout, deterministic)
+    va_in = jnp.einsum("bijkh,bjkdh->bijdh", a_in, v_in)
+
+    q_out, k_out, v_out = jnp.split(linear(p["lin_QKV_out"], e_ln), 3, axis=-1)
+    q_out = q_out.reshape(b, n, n, d, num_heads) * scale
+    k_out = k_out.reshape(b, n, n, d, num_heads)
+    v_out = v_out.reshape(b, n, n, d, num_heads)
+
+    h_out = jnp.einsum("bijdh,bkjdh->bkijh", q_out, k_out)
+    a_out = jax.nn.softmax(h_out + mask[:, :, :, None], axis=1)
+    a_out = dropout(r_out, a_out, attention_dropout, deterministic)
+    va_out = jnp.einsum("bkijh,bkjdh->bijdh", a_out, v_out)
+
+    va = jnp.concatenate([va_in, va_out], axis=-1).reshape(b, n, n, w * 2)
+    return linear(p["lin_O"], va)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+TRIPLET_VARIANTS = ("aggregate", "aggregate_ungated", "attention",
+                    "attention_ungated", "triangular_update", "axial_attention")
+
+
+def get_triplet_init(variant: str) -> Callable:
+    variant = _canon(variant)
+    return {
+        "aggregate": lambda rng, w, h: triplet_aggregate_init(rng, w, h, gated=True),
+        "aggregate_ungated": lambda rng, w, h: triplet_aggregate_init(rng, w, h, gated=False),
+        "attention": lambda rng, w, h: triplet_attention_init(rng, w, h, gated=True),
+        "attention_ungated": lambda rng, w, h: triplet_attention_init(rng, w, h, gated=False),
+        "triangular_update": triangular_update_init,
+        "axial_attention": axial_attention_init,
+    }[variant]
+
+
+def get_triplet_apply(variant: str) -> Callable:
+    variant = _canon(variant)
+    return {
+        "aggregate": triplet_aggregate,
+        "aggregate_ungated": triplet_aggregate_ungated,
+        "attention": triplet_attention,
+        "attention_ungated": triplet_attention_ungated,
+        "triangular_update": triangular_update,
+        "axial_attention": axial_attention,
+    }[variant]
+
+
+def _canon(variant: str) -> str:
+    # accept the reference's registry typo (triplet.py:15)
+    if variant == "tiangular_update":
+        return "triangular_update"
+    if variant not in TRIPLET_VARIANTS:
+        raise ValueError(f"invalid triplet variant: {variant}")
+    return variant
