@@ -1,0 +1,186 @@
+"""End-to-end training tests: schemes + harness on synthetic data (CPU).
+
+Covers the reference's three-stage pipeline semantics hermetically:
+dist_pred training/eval, pretrain, finetune (with bins cycling + stage
+transfer from pretrain), gap_pred trim + eval, checkpoint resume, NaN guard.
+"""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from tgt_tpu.schemes import (DistPredScheme, FinetuneScheme, GapPredScheme,
+                             PretrainScheme)
+from tgt_tpu.training import Trainer
+from tgt_tpu.training.checkpoint import load_pytree, save_pytree
+
+TINY = dict(
+    dataset_source="synthetic",
+    synth_train_samples=16,
+    synth_val_samples=8,
+    synth_max_nodes=10,
+    batch_size=4,
+    buckets=[12],
+    model_height=2,
+    node_width=16,
+    edge_width=8,
+    num_heads=4,
+    triplet_heads=2,
+    num_dist_bins=16,
+    evaluation_samples=2,
+    prediction_samples=2,
+    max_lr=1e-3,
+    lr_warmup_steps=4,
+    lr_total_steps=10_000,
+    num_epochs=2,
+)
+
+
+def make_trainer(scheme_cls, tmp_path, name, **extra):
+    over = dict(TINY)
+    over.update(extra)
+    over["save_path_prefix"] = str(tmp_path)
+    over["model_name"] = name
+    scheme = scheme_cls(over)
+    return scheme, Trainer(scheme)
+
+
+class TestDistPred:
+    def test_train_eval_checkpoint(self, tmp_path):
+        scheme, trainer = make_trainer(DistPredScheme, tmp_path, "dp",
+                                       coords_input="rdkit",
+                                       coords_noise=0.1,
+                                       coords_noise_smooth=1.0)
+        result = trainer.fit(num_epochs=2)
+        hist = result["history"]
+        assert len(hist) == 2
+        assert np.isfinite(hist[-1]["loss"])
+        assert "val_loss" in hist[-1]
+        # checkpoint written and resumable
+        assert trainer.ckpt.has_checkpoint()
+        scheme2, trainer2 = make_trainer(DistPredScheme, tmp_path, "dp",
+                                         coords_input="rdkit")
+        state2 = trainer2.load_or_init(jax.random.PRNGKey(0))
+        assert trainer2.epoch == 2
+        # training reduced the loss vs a fresh init on the train set
+        assert hist[-1]["loss"] < 10.0
+
+    def test_predict_bins_roundtrip(self, tmp_path):
+        pytest.importorskip("pyarrow")
+        scheme, trainer = make_trainer(DistPredScheme, tmp_path, "dpb",
+                                       coords_input="rdkit")
+        state = trainer.load_or_init(jax.random.PRNGKey(0))
+        scheme.cfg.predict_on = ["val"]
+        scheme.predict_and_save(state["params"], rank=0, world_size=1,
+                                base_path=str(tmp_path / "preds"))
+        import pyarrow.parquet as pq
+        import json
+        d = tmp_path / "preds" / f"bins{scheme.nb_draw_samples}"
+        meta = json.load(open(d / "meta.json"))
+        assert meta["num_bins"] == TINY["num_dist_bins"]
+        tbl = pq.read_table(d / "data" / "val_000.parquet")
+        assert tbl.num_rows == TINY["synth_val_samples"]
+
+    def test_no_coords_variant(self, tmp_path):
+        scheme, trainer = make_trainer(DistPredScheme, tmp_path, "dpn",
+                                       coords_input="none")
+        assert scheme.model_cfg.embed_3d_type == "none"
+        result = trainer.fit(num_epochs=1)
+        assert np.isfinite(result["history"][-1]["loss"])
+
+
+class TestPretrain:
+    def test_train_eval(self, tmp_path):
+        scheme, trainer = make_trainer(PretrainScheme, tmp_path, "pt")
+        result = trainer.fit(num_epochs=2)
+        hist = result["history"]
+        assert "val_gap_loss" in hist[-1]
+        assert "val_dist_loss" in hist[-1]
+        assert np.isfinite(hist[-1]["val_loss"])
+
+
+class TestFinetune:
+    def test_train_with_stage_transfer(self, tmp_path):
+        # stage 2: pretrain briefly, saving a checkpoint
+        pt_scheme, pt_trainer = make_trainer(PretrainScheme, tmp_path, "pt2")
+        pt_result = pt_trainer.fit(num_epochs=1)
+        pt_model = os.path.join(pt_trainer.ckpt.ckpt_dir, "model.npz")
+        assert os.path.exists(pt_model)
+
+        # stage 3: finetune consuming the pretrain weights
+        ft_scheme, ft_trainer = make_trainer(
+            FinetuneScheme, tmp_path, "ft",
+            pretrained_weights_file=pt_model)
+        result = ft_trainer.fit(num_epochs=2)
+        assert np.isfinite(result["history"][-1]["val_loss"])
+
+    def test_bins_cycling(self, tmp_path):
+        scheme, trainer = make_trainer(FinetuneScheme, tmp_path, "ftc")
+        scheme.current_epoch = 0
+        ds = scheme.get_dataset("train")
+        row = ds[0]
+        assert row["dist_bins"].shape[0] == scheme.bins_num_samples
+
+
+class TestGapPred:
+    def test_trim_and_eval(self, tmp_path):
+        # make a finetuned multi checkpoint
+        ft_scheme, ft_trainer = make_trainer(FinetuneScheme, tmp_path, "ft2")
+        state = ft_trainer.load_or_init(jax.random.PRNGKey(0))
+        ft_model = str(tmp_path / "ft_model.npz")
+        save_pytree(state["params"], ft_model)
+
+        gp_scheme, gp_trainer = make_trainer(GapPredScheme, tmp_path, "gp")
+        trimmed = str(tmp_path / "trimmed.npz")
+        missing, unexpected = gp_scheme.trim_checkpoint(ft_model, trimmed)
+        # the multi checkpoint has extra dist-head keys the gap model drops
+        assert any("dist_pred" in k for k in unexpected)
+
+        params = gp_trainer.load_or_init(jax.random.PRNGKey(0))["params"]
+        loader = gp_scheme.val_loader(0, 1)
+        preds = gp_trainer.eval_epoch(params, loader)
+        metrics = gp_scheme.evaluate_predictions(preds)
+        assert np.isfinite(metrics["loss"])
+        assert preds["gap_pred"].shape == (TINY["synth_val_samples"],)
+
+
+class TestHarness:
+    def test_resume_continues_counters(self, tmp_path):
+        scheme, trainer = make_trainer(PretrainScheme, tmp_path, "res")
+        trainer.fit(num_epochs=1)
+        step_after = trainer.global_step
+        scheme2, trainer2 = make_trainer(PretrainScheme, tmp_path, "res")
+        trainer2.load_or_init(jax.random.PRNGKey(0))
+        assert trainer2.global_step == step_after
+        assert trainer2.epoch == 1
+
+    def test_step_budget_stops(self, tmp_path):
+        scheme, trainer = make_trainer(PretrainScheme, tmp_path, "budget",
+                                       lr_total_steps=2)
+        result = trainer.fit(num_epochs=10)
+        assert trainer.global_step <= 4  # stopped at budget, not 10 epochs
+
+    def test_monitor_best_saved(self, tmp_path):
+        scheme, trainer = make_trainer(PretrainScheme, tmp_path, "best")
+        trainer.fit(num_epochs=1)
+        assert os.path.exists(os.path.join(trainer.ckpt.best_dir, "model.npz"))
+
+    def test_nan_step_guard_keeps_params(self, tmp_path):
+        """A non-finite loss step must not update params."""
+        import jax.numpy as jnp
+        scheme, trainer = make_trainer(PretrainScheme, tmp_path, "nan")
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        step_fn = trainer.build_train_step()
+        loader = scheme.train_loader(0, 0, 1)
+        batch = next(iter(loader))
+        db = scheme.device_batch(batch)
+        # poison the targets -> NaN loss
+        db["target"] = np.full_like(db["target"], np.nan, dtype=np.float64)
+        p_before = jax.tree.leaves(state["params"])[0].copy()
+        state2, metrics = step_fn(state, db, jnp.asarray(0),
+                                  jax.random.PRNGKey(1), jnp.asarray(1.0))
+        assert not np.isfinite(float(metrics["loss"]))
+        p_after = jax.tree.leaves(state2["params"])[0]
+        np.testing.assert_array_equal(np.asarray(p_before),
+                                      np.asarray(p_after))

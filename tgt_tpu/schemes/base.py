@@ -1,0 +1,305 @@
+"""Scheme base: task-pipeline protocol + the shared TGT scheme.
+
+A *scheme* bundles everything task-specific that the generic Trainer
+(training/harness.py) needs, the way the reference's TGTTraining subclasses do
+(lib/training_schemes/pcqm/tgt_training.py:11-188):
+
+- a layered default config (reference defaults preserved, SURVEY.md §5.6),
+- dataset/loader factories with per-rank sharding,
+- model construction (init_params) from the config,
+- ``loss_fn(params, batch, rng) -> (loss, aux)``   [jitted by the harness]
+- ``eval_fn(params, batch, rng) -> dict``          [jitted; MC-dropout sampling]
+- prediction post-processing and metric computation on host.
+
+Device-side preprocessing (edge_mask outer product, coordinate noise,
+coords->distances, bins->distances) lives INSIDE loss_fn/eval_fn so it fuses
+into the step program — the TPU-first version of the reference's
+``preprocess_batch`` on-GPU stage (dist_pred/scheme.py:85-102).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tgt_tpu.core.config import Config, Lazy, REQUIRED
+from tgt_tpu.data.collate import pad_batch_dim, padded_collate
+from tgt_tpu.data.loader import (DataLoader, DistributedTestSampler,
+                                 DistributedTrainSampler)
+from tgt_tpu.data.synthetic import SyntheticDataset
+from tgt_tpu.models import TGTConfig, make_model
+from tgt_tpu.training import schedules
+
+
+def default_scheme_config() -> Config:
+    """Shared config keys; defaults mirror the reference
+    (training.py:196-241, tgt_training.py:12-49, training_mixins.py:276-290)."""
+    c = Config(
+        scheme=None,
+        model_name="tgt",
+        save_path_prefix="models/pcqm",
+        save_path=Lazy(lambda c: f"{c.save_path_prefix}/{c.model_name}"),
+        dataset_source="pcqm",            # 'pcqm' | 'synthetic'
+        dataset_path="data/PCQM",
+        random_seed=0,
+        num_epochs=1000,
+        batch_size=32,
+        validation_frequency=1,
+        # model
+        model_height=4,
+        node_width=64,
+        edge_width=8,
+        num_heads=8,
+        node_act_dropout=0.0,
+        edge_act_dropout=0.0,
+        source_dropout=0.0,
+        drop_path=0.0,
+        activation="gelu",
+        scale_degree=True,
+        node_ffn_multiplier=1.0,
+        edge_ffn_multiplier=1.0,
+        layer_multiplier=1,
+        upto_hop=32,
+        triplet_heads=0,
+        triplet_type="aggregate",
+        triplet_dropout=0.0,
+        embed_3d_type="gaussian",
+        num_3d_kernels=128,
+        # execution (TPU)
+        compute_dtype="float32",
+        remat=False,
+        use_scan=True,
+        use_pallas=False,
+        buckets=[16, 24, 32, 48, 64],
+        # optimizer / schedule
+        optimizer="adam",
+        max_lr=5e-4,
+        min_lr=1e-6,
+        lr_schedule="warmup_cosine",
+        lr_warmup_steps=60_000,
+        lr_total_steps=1_000_000,
+        cosine_halfwave=False,
+        clip_grad_value=None,
+        clip_grad_norm=None,
+        weight_decay=0.0,
+        max_recovery_tries=10,
+        # eval / predict
+        evaluation_samples=10,
+        prediction_samples=10,
+        predict_in_train=True,
+        predict_on=["val"],
+        prediction_bmult=1,
+        monitor="val_loss",
+        # checkpoints
+        save_all_checkpoints=False,
+        pretrained_weights_file=None,
+        trial_run=False,
+        # splits
+        train_split="train",
+        val_split="valid",
+        test_split="test-dev",
+        # synthetic-dataset controls (hermetic tests/benches)
+        synth_train_samples=64,
+        synth_val_samples=32,
+        synth_max_nodes=16,
+    )
+    return c
+
+
+class TGTScheme:
+    """Base scheme; subclasses set ``MODEL`` and override task functions."""
+
+    NAME = "base"
+    MODEL = "multi"
+
+    def __init__(self, overrides: Optional[Dict[str, Any]] = None,
+                 command: str = "train"):
+        cfg = self.default_config(command)
+        if overrides:
+            cfg.override(overrides)
+        self.cfg = cfg.resolve()
+        self.command = command
+        self.model_cfg = self.build_model_cfg()
+        self.init_fn, self.apply_fn = make_model(self.MODEL)
+        self.nb_draw_samples = (self.cfg.prediction_samples
+                                if command == "predict"
+                                else self.cfg.evaluation_samples)
+        self.lr_scale = 1.0
+        self.lr_total_steps = self.cfg.lr_total_steps
+        self._datasets: Dict[str, Any] = {}
+
+    # -- config -----------------------------------------------------------
+    def default_config(self, command: str) -> Config:
+        return default_scheme_config()
+
+    def build_model_cfg(self) -> TGTConfig:
+        c = self.cfg
+        return TGTConfig(
+            node_width=c.node_width, edge_width=c.edge_width,
+            num_heads=c.num_heads, model_height=c.model_height,
+            layer_multiplier=c.layer_multiplier,
+            triplet_heads=c.triplet_heads, triplet_type=c.triplet_type,
+            triplet_dropout=c.triplet_dropout, activation=c.activation,
+            scale_degree=c.scale_degree,
+            node_ffn_multiplier=c.node_ffn_multiplier,
+            edge_ffn_multiplier=c.edge_ffn_multiplier,
+            source_dropout=c.source_dropout, drop_path=c.drop_path,
+            node_act_dropout=c.node_act_dropout,
+            edge_act_dropout=c.edge_act_dropout,
+            upto_hop=c.upto_hop, embed_3d_type=c.embed_3d_type,
+            num_3d_kernels=c.num_3d_kernels,
+            num_dist_bins=getattr(c, "num_dist_bins", 256),
+            compute_dtype=c.compute_dtype, remat=c.remat,
+            use_scan=c.use_scan, use_pallas=c.use_pallas)
+
+    # -- model ------------------------------------------------------------
+    def init_params(self, rng: jax.Array):
+        return jax.jit(functools.partial(self.init_fn, cfg=self.model_cfg))(rng)
+
+    def apply_model(self, params, batch, *, deterministic, rng=None):
+        return self.apply_fn(params, batch, self.model_cfg,
+                             deterministic=deterministic, rng=rng)
+
+    def make_lr_schedule(self):
+        c = self.cfg
+        kind = c.lr_schedule or "constant"
+        if kind == "warmup_cosine":
+            return schedules.warmup_cosine(c.max_lr, c.lr_warmup_steps,
+                                           c.lr_total_steps, c.min_lr,
+                                           c.cosine_halfwave)
+        if kind == "warmup_linear":
+            return schedules.warmup_linear(c.max_lr, c.lr_warmup_steps)
+        return schedules.constant(c.max_lr)
+
+    # -- datasets ---------------------------------------------------------
+    def dataset_split_name(self, split: str) -> str:
+        return {"train": self.cfg.train_split, "val": self.cfg.val_split,
+                "test": self.cfg.test_split}[split]
+
+    def extra_columns(self, split: str) -> List:
+        return []
+
+    def get_dataset(self, split: str):
+        if split in self._datasets:
+            return self._datasets[split]
+        if self.cfg.dataset_source == "synthetic":
+            n = (self.cfg.synth_train_samples if split == "train"
+                 else self.cfg.synth_val_samples)
+            ds = SyntheticDataset(num_samples=n, max_nodes=self.cfg.synth_max_nodes,
+                                  seed={"train": 0, "val": 1, "test": 2}[split])
+        else:
+            from tgt_tpu.data.pcqm import PCQM4Mv2Dataset
+            from tgt_tpu.data.structural import AddStructuralData
+            ds = PCQM4Mv2Dataset(
+                split=self.dataset_split_name(split),
+                dataset_path=self.cfg.dataset_path,
+                return_idx=True,
+                transforms=[AddStructuralData()],
+                additional_columns=self.extra_columns(split))
+        self._datasets[split] = ds
+        return ds
+
+    def train_loader(self, epoch: int, rank: int, world_size: int):
+        ds = self.get_dataset("train")
+        sampler = DistributedTrainSampler(len(ds), self.cfg.batch_size,
+                                          rank=rank, world_size=world_size,
+                                          seed=self.cfg.random_seed or 0)
+        sampler.set_epoch(epoch)
+        return DataLoader(ds, sampler,
+                          collate_fn=lambda rows: padded_collate(
+                              rows, buckets=tuple(self.cfg.buckets)))
+
+    def val_loader(self, rank: int, world_size: int):
+        ds = self.get_dataset("val")
+        bsz = round(self.cfg.batch_size * self.cfg.prediction_bmult)
+        sampler = DistributedTestSampler(len(ds), bsz, rank=rank,
+                                         world_size=world_size)
+        return DataLoader(ds, sampler,
+                          collate_fn=lambda rows: padded_collate(
+                              rows, buckets=tuple(self.cfg.buckets)))
+
+    def test_loader(self, split: str, rank: int, world_size: int):
+        ds = self.get_dataset(split if split in ("train", "val", "test")
+                              else "val")
+        bsz = round(self.cfg.batch_size * self.cfg.prediction_bmult)
+        sampler = DistributedTestSampler(len(ds), bsz, rank=rank,
+                                         world_size=world_size)
+        return DataLoader(ds, sampler,
+                          collate_fn=lambda rows: padded_collate(
+                              rows, buckets=tuple(self.cfg.buckets)))
+
+    # -- batch plumbing ---------------------------------------------------
+    DEVICE_KEYS = ("node_features", "distance_matrix", "feature_matrix",
+                   "node_mask", "target")
+
+    def device_keys(self, training: bool = True):
+        return self.DEVICE_KEYS
+
+    def batch_num_samples(self, batch: Dict[str, np.ndarray]) -> int:
+        return int(batch["node_mask"].shape[0])
+
+    def device_batch(self, batch: Dict[str, np.ndarray],
+                     training: bool = True) -> Dict[str, np.ndarray]:
+        keys = [k for k in self.device_keys(training) if k in batch]
+        sub = {k: batch[k] for k in keys}
+        target_b = round(self.cfg.batch_size *
+                         (1 if training else self.cfg.prediction_bmult))
+        sub, sample_mask = pad_batch_dim(sub, max(target_b,
+                                                  len(batch["node_mask"])))
+        sub["sample_mask"] = sample_mask
+        return sub
+
+    @staticmethod
+    def edge_mask_of(batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        nm = batch["node_mask"].astype(jnp.float32)
+        # zero out padded samples entirely so they can't contribute to loss
+        nm = nm * batch["sample_mask"][:, None]
+        return nm[:, :, None] * nm[:, None, :]
+
+    # -- task hooks (subclass responsibility) -----------------------------
+    def loss_fn(self, params, batch, rng):
+        raise NotImplementedError
+
+    def eval_fn(self, params, batch, rng):
+        raise NotImplementedError
+
+    def postprocess_eval(self, out: Dict[str, np.ndarray],
+                         host_batch: Dict[str, np.ndarray]
+                         ) -> Dict[str, np.ndarray]:
+        """Strip padded samples from per-graph outputs (host side)."""
+        n = len(host_batch["node_mask"])
+        return {k: v[:n] if v.ndim >= 1 and v.shape[0] >= n else v
+                for k, v in out.items()}
+
+    def evaluate_predictions(self, preds: Dict[str, np.ndarray]
+                             ) -> Dict[str, float]:
+        raise NotImplementedError
+
+    # -- MC sampling helper ------------------------------------------------
+    def mc_sample(self, fn, rng, num_samples: int):
+        """Average ``fn(rng) -> pytree`` over ``num_samples`` stochastic
+        draws, skipping non-finite draws (the jit-friendly analog of the
+        reference's NaN-resample loop, dist_pred/scheme.py:139-167).
+
+        Returns (summed pytree, valid_count).
+        """
+        keys = jax.random.split(rng, num_samples)
+
+        def body(carry, key):
+            acc, valid = carry
+            out = fn(key)
+            finite = jnp.all(jnp.asarray(
+                [jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves(out)]))
+            acc = jax.tree.map(
+                lambda a, o: jnp.where(finite, a + o.astype(jnp.float32), a),
+                acc, out)
+            return (acc, valid + finite.astype(jnp.int32)), None
+
+        shapes = jax.eval_shape(fn, keys[0])
+        zero = jax.tree.map(lambda s: jnp.zeros(s.shape, jnp.float32), shapes)
+        (acc, valid), _ = jax.lax.scan(body, (zero, jnp.zeros((), jnp.int32)),
+                                       keys)
+        return acc, valid

@@ -1,0 +1,370 @@
+"""Training harness: the TPU-native equivalent of the reference TrainingBase /
+TestingBase (lib/training/training.py:22-829, testing.py:11-177).
+
+Design differences from the reference (TPU-first):
+- one jitted ``train_step`` with donated state instead of an eager loop:
+  loss + grad + clip + optax update + schedule compile to a single XLA program;
+  GSPMD over the (data, pair) mesh replaces DDP (gradients all-reduce because
+  the loss averages over the sharded global batch).
+- sample-weighted loss accumulation happens on device (weights = valid-sample
+  mask) and metrics transfer to host once per epoch segment, not per step.
+- bf16 compute needs no GradScaler; the NaN discipline is kept: per-step NaN
+  skip counting (tgt_training.py:159-168) and NaN/Inf-epoch ->
+  reload-checkpoint retry, with ``max_recovery_tries`` actually enforced
+  (the reference defines but never enforces it, training.py:229,821-828).
+
+Scheme objects supply the task semantics via pure functions; see
+schemes/base.py for the protocol.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from tgt_tpu.training.checkpoint import CheckpointManager, load_pretrained
+from tgt_tpu.training.schedules import warmup_cosine
+
+
+class StopTraining(Exception):
+    pass
+
+
+def make_optimizer(cfg, schedule) -> Tuple[Callable, Callable]:
+    """Adam with optional grad clipping; returns (init_fn, update_fn).
+
+    update_fn(grads, opt_state, params, lr) -> (updates, new_opt_state).
+    Hand-rolled (optax-compatible states are overkill here) so the checkpoint
+    layout is a plain pytree and the whole step stays one fused XLA program.
+    Matches torch.optim.Adam semantics (the reference default, training.py:212;
+    apex FusedAdam is numerically the same algorithm).
+    """
+    b1 = getattr(cfg, "adam_beta1", 0.9)
+    b2 = getattr(cfg, "adam_beta2", 0.999)
+    eps = getattr(cfg, "adam_eps", 1e-8)
+    wd = getattr(cfg, "weight_decay", 0.0)
+    clip_value = getattr(cfg, "clip_grad_value", None)
+    clip_norm = getattr(cfg, "clip_grad_norm", None)
+
+    def init_fn(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return {"mu": zeros, "nu": jax.tree.map(jnp.zeros_like, params),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def update_fn(grads, opt_state, params, lr):
+        if clip_value is not None:
+            grads = jax.tree.map(
+                lambda g: jnp.clip(g, -clip_value, clip_value), grads)
+        if clip_norm is not None:
+            gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g))
+                                 for g in jax.tree.leaves(grads)))
+            scale = jnp.minimum(1.0, clip_norm / (gnorm + 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+        if wd:
+            grads = jax.tree.map(lambda g, p: g + wd * p, grads, params)
+        count = opt_state["count"] + 1
+        cf = count.astype(jnp.float32)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          opt_state["mu"], grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * jnp.square(g),
+                          opt_state["nu"], grads)
+        mu_hat_scale = 1.0 / (1 - b1 ** cf)
+        nu_hat_scale = 1.0 / (1 - b2 ** cf)
+        updates = jax.tree.map(
+            lambda m, v: -lr * (m * mu_hat_scale)
+            / (jnp.sqrt(v * nu_hat_scale) + eps), mu, nu)
+        return updates, {"mu": mu, "nu": nu, "count": count}
+
+    return init_fn, update_fn
+
+
+class Trainer:
+    """Generic epoch/step loop around a scheme's pure functions."""
+
+    def __init__(self, scheme, rank: int = 0, world_size: int = 1):
+        self.scheme = scheme
+        self.cfg = scheme.cfg
+        self.rank = rank
+        self.world_size = world_size
+        self.is_main = rank == 0
+
+        self.model_path = self.cfg.save_path
+        self.log_path = os.path.join(self.model_path, "logs")
+        self.ckpt = CheckpointManager(
+            self.model_path,
+            save_backups=getattr(self.cfg, "save_all_checkpoints", False))
+
+        self.schedule = scheme.make_lr_schedule()
+        self.opt_init, self.opt_update = make_optimizer(self.cfg, self.schedule)
+
+        # host-side counters (reference state dict, training.py:246-248)
+        self.epoch = 0
+        self.global_step = 0
+        self.recovery_tries = 0
+        self.monitor_best = float("inf")
+        self.monitor_best_epoch = -1
+
+        self._train_step = None  # built lazily (jit)
+        self._eval_step = None
+
+    # ------------------------------------------------------------------
+    # state init / restore
+    # ------------------------------------------------------------------
+    def init_state(self, rng: jax.Array) -> Dict[str, Any]:
+        params = self.scheme.init_params(rng)
+        opt_state = jax.jit(self.opt_init)(params)
+        return {"params": params, "opt_state": opt_state}
+
+    def load_or_init(self, rng: jax.Array) -> Dict[str, Any]:
+        state = self.init_state(rng)
+        if self.ckpt.has_checkpoint():
+            params, opt_state, counters = self.ckpt.load(
+                state["params"], state["opt_state"])
+            state = {"params": jax.tree.map(jnp.asarray, params),
+                     "opt_state": jax.tree.map(jnp.asarray, opt_state)}
+            self.epoch = counters.get("epoch", 0)
+            self.global_step = counters.get("global_step", 0)
+            self.monitor_best = counters.get("monitor_best", float("inf"))
+            self.monitor_best_epoch = counters.get("monitor_best_epoch", -1)
+            if self.is_main:
+                print(f"Resumed from checkpoint @ epoch {self.epoch}, "
+                      f"step {self.global_step}", flush=True)
+        elif getattr(self.cfg, "pretrained_weights_file", None):
+            # non-strict stage-transfer load (reference tgt_training.py:174-187)
+            params, missing, unexpected = load_pretrained(
+                state["params"], self.cfg.pretrained_weights_file)
+            state["params"] = jax.tree.map(jnp.asarray, params)
+            if self.is_main:
+                print(f"Loaded pretrained weights from "
+                      f"{self.cfg.pretrained_weights_file}", flush=True)
+                print(f"missing keys: {missing[:8]}", flush=True)
+                print(f"unexpected keys: {unexpected[:8]}", flush=True)
+        return state
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+    def build_train_step(self):
+        scheme = self.scheme
+        opt_update = self.opt_update
+        schedule = self.schedule
+
+        def train_step(state, batch, step, rng, lr_scale):
+            def loss_fn(params):
+                return scheme.loss_fn(params, batch, rng)
+
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state["params"])
+            lr = schedule(step) * lr_scale
+            updates, new_opt = opt_update(grads, state["opt_state"],
+                                          state["params"], lr)
+            new_params = jax.tree.map(lambda p, u: p + u,
+                                      state["params"], updates)
+            # NaN-step guard: skip the update if loss is non-finite
+            # (bf16 analog of GradScaler skipping inf steps, training.py:467-469)
+            ok = jnp.isfinite(loss)
+            new_state = {
+                "params": jax.tree.map(
+                    lambda n, o: jnp.where(ok, n, o), new_params,
+                    state["params"]),
+                "opt_state": jax.tree.map(
+                    lambda n, o: jnp.where(ok, n, o), new_opt,
+                    state["opt_state"]),
+            }
+            metrics = {"loss": loss, "lr": lr, "ok": ok}
+            metrics.update(aux)
+            return new_state, metrics
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def build_eval_step(self):
+        scheme = self.scheme
+
+        def eval_step(params, batch, rng):
+            return scheme.eval_fn(params, batch, rng)
+
+        return jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    # loops
+    # ------------------------------------------------------------------
+    def train_epoch(self, state, loader):
+        """Run one epoch. Returns (state, logs, stop_reason) where stop_reason
+        is None, 'nan' (NaN streak — roll back), or 'budget' (step budget
+        exhausted — save and stop). Exceptions can't be used for the stop
+        path: the jitted step donates its input state, so the caller must
+        always receive the live output state."""
+        if self._train_step is None:
+            self._train_step = self.build_train_step()
+        total_loss = 0.0
+        total_samples = 0.0
+        nan_streak = 0
+        last_lr = 0.0
+        pending = []  # (metrics, n_samples) — fetched with a small delay
+
+        def drain(flush=False):
+            """Returns 'nan' if the NaN streak limit is exceeded, else None."""
+            nonlocal total_loss, total_samples, nan_streak, last_lr
+            limit = 0 if flush else 2
+            while len(pending) > limit:
+                m, n = pending.pop(0)
+                loss = float(m["loss"])
+                last_lr = float(m["lr"])
+                if np.isfinite(loss):
+                    nan_streak = 0
+                    total_loss += loss * n
+                    total_samples += n
+                else:
+                    nan_streak += 1
+                    # tolerate up to 10 consecutive NaN steps
+                    # (reference tgt_training.py:159-168)
+                    if nan_streak > 10:
+                        return "nan"
+            return None
+
+        stop_reason = None
+        for batch in loader:
+            n = self.scheme.batch_num_samples(batch)
+            device_batch = self.scheme.device_batch(batch)
+            rng = jax.random.fold_in(jax.random.PRNGKey(
+                getattr(self.cfg, "random_seed", 0) or 0),
+                self.global_step * self.world_size + self.rank)
+            state, metrics = self._train_step(
+                state, device_batch, jnp.asarray(self.global_step, jnp.int32),
+                rng, jnp.asarray(self.scheme.lr_scale, jnp.float32))
+            pending.append((metrics, n))
+            stop_reason = drain()
+            if stop_reason:
+                break
+            self.global_step += 1
+            if self.global_step > self.scheme.lr_total_steps:
+                stop_reason = drain(flush=True) or "budget"
+                break
+        if stop_reason is None:
+            stop_reason = drain(flush=True)
+        logs = {"loss": total_loss / max(total_samples, 1e-12), "lr": last_lr}
+        return state, logs, stop_reason
+
+    def eval_epoch(self, params, loader, seed: int = 0) -> Dict[str, np.ndarray]:
+        if self._eval_step is None:
+            self._eval_step = self.build_eval_step()
+        collected: Dict[str, list] = {}
+        for i, batch in enumerate(loader):
+            device_batch = self.scheme.device_batch(batch, training=False)
+            rng = jax.random.fold_in(jax.random.PRNGKey(seed + 1000), i)
+            out = self._eval_step(params, device_batch, rng)
+            out = {k: np.asarray(v) for k, v in out.items()}
+            out = self.scheme.postprocess_eval(out, batch)
+            for k, v in out.items():
+                collected.setdefault(k, []).append(v)
+        return {k: np.concatenate(v, axis=0) if np.ndim(v[0]) > 0
+                else np.asarray(v) for k, v in collected.items()}
+
+    # ------------------------------------------------------------------
+    # full run
+    # ------------------------------------------------------------------
+    def fit(self, num_epochs: Optional[int] = None) -> Dict[str, Any]:
+        cfg = self.cfg
+        num_epochs = num_epochs or getattr(cfg, "num_epochs", 1)
+        rng = jax.random.PRNGKey(getattr(cfg, "random_seed", 0) or 0)
+        state = self.load_or_init(rng)
+
+        if self.is_main:
+            os.makedirs(self.log_path, exist_ok=True)
+            self.save_config()
+
+        history = []
+        val_every = getattr(cfg, "validation_frequency", 1)
+        while self.epoch < num_epochs:
+            t0 = time.time()
+            self.scheme.current_epoch = self.epoch
+            loader = self.scheme.train_loader(self.epoch, self.rank,
+                                              self.world_size)
+            state, train_logs, stop_reason = self.train_epoch(state, loader)
+            if stop_reason == "nan":
+                if self.recovery_tries >= getattr(cfg, "max_recovery_tries", 10):
+                    raise RuntimeError(
+                        "NaN loss persisted past max_recovery_tries")
+                self.recovery_tries += 1
+                if self.is_main:
+                    print(f"NaN epoch — rolling back to checkpoint "
+                          f"(try {self.recovery_tries})", flush=True)
+                state = self.load_or_init(rng)
+                continue
+            if stop_reason == "budget":
+                self.checkpoint(state)
+                break
+            train_time = time.time() - t0
+
+            logs = {"epoch": self.epoch, "global_step": self.global_step,
+                    "train_time": train_time, **train_logs}
+
+            if (self.epoch + 1) % val_every == 0:
+                t0 = time.time()
+                val_loader = self.scheme.val_loader(self.rank, self.world_size)
+                preds = self.eval_epoch(state["params"], val_loader,
+                                        seed=self.epoch)
+                val_metrics = self.scheme.evaluate_predictions(preds)
+                logs.update({f"val_{k}": float(v)
+                             for k, v in val_metrics.items()})
+                logs["val_time"] = time.time() - t0
+                self.update_monitor(logs, state)
+
+            self.epoch += 1
+            self.checkpoint(state)
+            history.append(logs)
+            if self.is_main:
+                self.append_history(logs)
+                msg = ", ".join(f"{k}={v:.5g}" if isinstance(v, float) else
+                                f"{k}={v}" for k, v in logs.items())
+                print(f"[epoch {self.epoch}] {msg}", flush=True)
+        return {"state": state, "history": history}
+
+    # ------------------------------------------------------------------
+    # artifacts
+    # ------------------------------------------------------------------
+    def update_monitor(self, logs: Dict, state: Dict) -> None:
+        monitor = getattr(self.cfg, "monitor", "val_loss")
+        if monitor in logs:
+            v = logs[monitor]
+            if v < self.monitor_best:
+                if self.is_main:
+                    print(f"MONITOR BEST: {monitor} improved "
+                          f"{self.monitor_best:0.5f} -> {v:0.5f}", flush=True)
+                self.monitor_best = v
+                self.monitor_best_epoch = logs["epoch"]
+                if self.is_main:
+                    self.ckpt.save_best(state["params"])
+            logs[f"best_{monitor}"] = self.monitor_best
+
+    def checkpoint(self, state: Dict) -> None:
+        if not self.is_main:
+            return
+        if getattr(self.cfg, "trial_run", False):
+            return  # trial runs skip checkpoint io (training.py:292-293)
+        self.ckpt.save(state["params"], state["opt_state"],
+                       {"epoch": self.epoch, "global_step": self.global_step,
+                        "monitor_best": self.monitor_best,
+                        "monitor_best_epoch": self.monitor_best_epoch},
+                       epoch=self.epoch)
+
+    def append_history(self, logs: Dict) -> None:
+        path = os.path.join(self.log_path, "history.yaml")
+        with open(path, "a") as f:
+            yaml.safe_dump([{k: (float(v) if isinstance(v, (int, float,
+                                                            np.floating))
+                                 else v)
+                             for k, v in logs.items()}], f)
+
+    def save_config(self) -> None:
+        os.makedirs(self.model_path, exist_ok=True)
+        path = os.path.join(self.model_path, "all_config.yaml")
+        cfg_dict = {k: v for k, v in vars(self.cfg).items()
+                    if isinstance(v, (str, int, float, bool, list, type(None)))}
+        with open(path, "w") as f:
+            yaml.safe_dump(cfg_dict, f)
