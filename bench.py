@@ -1,0 +1,149 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: training-step throughput (graphs/sec/chip) of the flagship
+TGT-At 102M model (24-layer triplet attention, bf16, remat+scan), measured as
+full train steps (fwd + bwd + Adam) on one chip, plus pair-entries/sec
+(= graphs/sec * N^2, BASELINE.md's edges/s metric).
+
+Inputs vary per step (fresh random batch indices into a pre-staged pool) so a
+caching execution layer cannot shortcut repeated steps.
+
+Usage: python bench.py [--small] [--steps N]
+"""
+import argparse
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build(small: bool):
+    import jax
+    import jax.numpy as jnp
+    from tgt_tpu.models import TGTConfig, make_model
+    from tgt_tpu.schemes.commons import discrete_dist_loss
+    from tgt_tpu.training.harness import make_optimizer
+    from types import SimpleNamespace
+
+    if small:
+        cfg = TGTConfig(node_width=128, edge_width=64, num_heads=16,
+                        model_height=4, triplet_heads=8,
+                        triplet_type="attention", num_dist_bins=256,
+                        compute_dtype="bfloat16", use_scan=True, remat=True,
+                        node_ended=False, edge_ended=True)
+        bsz, n = 4, 32
+    else:
+        # TGT-At 102M (configs/pcqm/tgt_at_200m/dist_pred/*.yaml)
+        cfg = TGTConfig(node_width=768, edge_width=256, num_heads=64,
+                        model_height=24, triplet_heads=16,
+                        triplet_type="attention", num_dist_bins=256,
+                        source_dropout=0.3, drop_path=0.2,
+                        node_act_dropout=0.1, edge_act_dropout=0.1,
+                        compute_dtype="bfloat16", use_scan=True, remat=True,
+                        node_ended=False, edge_ended=True)
+        bsz, n = 8, 48
+
+    init, apply = make_model("distance")
+    params = init(jax.random.PRNGKey(0), cfg)
+
+    opt_cfg = SimpleNamespace(clip_grad_value=None, clip_grad_norm=None)
+    opt_init, opt_update = make_optimizer(opt_cfg, None)
+    opt_state = jax.jit(opt_init)(params)
+
+    # pre-staged input pool on device; each step gathers a fresh batch by index
+    pool = 4 * bsz
+    rs = np.random.RandomState(0)
+    nodef = np.stack([rs.randint(1, 33, size=(pool, n)) + k * 128
+                      for k in range(9)], -1).astype(np.int32)
+    featm = np.stack([rs.randint(1, 8, size=(pool, n, n)) + k * 8
+                      for k in range(3)], -1).astype(np.int32)
+    coords = (rs.randn(pool, n, 3) * 2).astype(np.float32)
+    dist = np.linalg.norm(coords[:, :, None] - coords[:, None, :],
+                          axis=-1).astype(np.float32)
+    pool_data = {
+        "node_features": jnp.asarray(nodef),
+        "distance_matrix": jnp.asarray(
+            rs.randint(0, 30, size=(pool, n, n)).astype(np.int32)),
+        "feature_matrix": jnp.asarray(featm),
+        "node_mask": jnp.ones((pool, n), jnp.float32),
+        "edge_mask": jnp.ones((pool, n, n), jnp.float32),
+        "dist_input": jnp.asarray(dist),
+    }
+
+    def train_step(params, opt_state, idx, rng):
+        batch = {k: v[idx] for k, v in pool_data.items()}
+
+        def loss_fn(p):
+            logits = apply(p, batch, cfg, deterministic=False, rng=rng)
+            return discrete_dist_loss(logits, batch["dist_input"],
+                                      batch["edge_mask"], cfg.num_dist_bins,
+                                      8.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt = opt_update(grads, opt_state, params,
+                                      jnp.asarray(1e-4))
+        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return new_params, new_opt, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+    return step, params, opt_state, bsz, n, pool
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    step, params, opt_state, bsz, n, pool = build(args.small)
+    rs = np.random.RandomState(1)
+
+    def one(i):
+        idx = jnp.asarray(rs.choice(pool, bsz, replace=False))
+        rng = jax.random.fold_in(jax.random.PRNGKey(7), i)
+        return step(params, opt_state, idx, rng)
+
+    # warmup / compile
+    t0 = time.time()
+    params, opt_state, loss = one(0)
+    loss.block_until_ready()
+    compile_s = time.time() - t0
+    params, opt_state, loss = one(1)
+    loss.block_until_ready()
+
+    t0 = time.time()
+    for i in range(args.steps):
+        params, opt_state, loss = one(i + 2)
+    loss.block_until_ready()
+    dt = time.time() - t0
+    loss_val = float(loss)
+
+    steps_per_s = args.steps / dt
+    graphs_per_s = steps_per_s * bsz
+    pair_entries_per_s = graphs_per_s * n * n
+
+    result = {
+        "metric": "graphs/sec/chip (TGT-At 102M train step, b=%d N=%d, bf16)"
+                  % (bsz, n) if not args.small else
+                  "graphs/sec/chip (small model, b=%d N=%d)" % (bsz, n),
+        "value": round(graphs_per_s, 3),
+        "unit": "graphs/s",
+        "vs_baseline": None,
+        "extra": {
+            "pair_entries_per_s": round(pair_entries_per_s, 1),
+            "step_ms": round(dt / args.steps * 1000, 2),
+            "compile_s": round(compile_s, 1),
+            "final_loss": round(loss_val, 4),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
