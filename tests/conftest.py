@@ -6,21 +6,6 @@ so they are hermetic and exercise multi-device paths without hardware
 (SURVEY.md §4).
 """
 import os
-import sys
-
-# The container's sitecustomize activates the axon TPU-tunnel backend when
-# PALLAS_AXON_POOL_IPS is set; its hooks pin the process to 1 device and
-# ignore xla_force_host_platform_device_count. Re-exec once with a clean env
-# so tests get a vanilla 8-device CPU backend.
-if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get(
-        "TGT_TPU_TESTS_REEXEC"):
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["TGT_TPU_TESTS_REEXEC"] = "1"
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                        + " --xla_force_host_platform_device_count=8")
-    os.execvpe(sys.executable, [sys.executable] + sys.argv, env)
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
@@ -30,7 +15,11 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
+# The container's sitecustomize activates an axon TPU-tunnel backend whose
+# hooks override env-based platform selection and ignore
+# xla_force_host_platform_device_count. Config updates after import win:
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pytest  # noqa: E402
 

@@ -40,8 +40,19 @@ def default_scheme_config() -> Config:
     c = Config(
         scheme=None,
         model_name="tgt",
+        model_prefix=None,
         save_path_prefix="models/pcqm",
-        save_path=Lazy(lambda c: f"{c.save_path_prefix}/{c.model_name}"),
+        save_path=Lazy(lambda c: (
+            f"{c.save_path_prefix}/{c.model_name}" if c.model_prefix is None
+            else f"{c.save_path_prefix}/{c.model_prefix}/{c.model_name}")),
+        # reference-compat keys accepted by published configs; 'distributed',
+        # 'dataloader_workers' and 'optimizer' names are informational here
+        # (jax.distributed + thread loader + fused Adam replace them);
+        # mixed_precision maps to bfloat16 compute.
+        distributed=False,
+        dataloader_workers=1,
+        evaluation_type="prediction",
+        mixed_precision=False,
         dataset_source="pcqm",            # 'pcqm' | 'synthetic'
         dataset_path="data/PCQM",
         random_seed=0,
@@ -119,8 +130,13 @@ class TGTScheme:
                  command: str = "train"):
         cfg = self.default_config(command)
         if overrides:
+            overrides = dict(overrides)
+            overrides.pop("scheme", None)  # consumed by the CLI dispatcher
             cfg.override(overrides)
         self.cfg = cfg.resolve()
+        if getattr(self.cfg, "mixed_precision", False) and \
+                self.cfg.compute_dtype == "float32":
+            self.cfg.compute_dtype = "bfloat16"
         self.command = command
         self.model_cfg = self.build_model_cfg()
         self.init_fn, self.apply_fn = make_model(self.MODEL)

@@ -29,16 +29,32 @@ class FinetuneScheme(TGTScheme):
     def __init__(self, overrides=None, command="train"):
         super().__init__(overrides, command)
         self.current_epoch = 0  # set by the trainer each epoch for bins cycling
-        if self.cfg.bins_input_path:
-            from tgt_tpu.data.pcqm import read_bins_meta
-            meta = read_bins_meta(self.cfg.bins_input_path)
-            self.bins_num_samples = meta["num_samples"]
-            self.bins_num_bins = meta["num_bins"]
-            self.bins_range = meta["range_bins"]
-        else:  # synthetic mode: bins generated on the fly by the dataset
-            self.bins_num_samples = self.cfg.synth_bins_samples
-            self.bins_num_bins = self.cfg.num_dist_bins
-            self.bins_range = self.cfg.range_dist_bins
+        self._bins_meta = None
+
+    def _load_bins_meta(self):
+        if self._bins_meta is None:
+            if self.cfg.bins_input_path:
+                from tgt_tpu.data.pcqm import read_bins_meta
+                m = read_bins_meta(self.cfg.bins_input_path)
+                self._bins_meta = (m["num_samples"], m["num_bins"],
+                                   m["range_bins"])
+            else:  # synthetic mode: bins generated on the fly by the dataset
+                self._bins_meta = (self.cfg.synth_bins_samples,
+                                   self.cfg.num_dist_bins,
+                                   self.cfg.range_dist_bins)
+        return self._bins_meta
+
+    @property
+    def bins_num_samples(self):
+        return self._load_bins_meta()[0]
+
+    @property
+    def bins_num_bins(self):
+        return self._load_bins_meta()[1]
+
+    @property
+    def bins_range(self):
+        return self._load_bins_meta()[2]
 
     def default_config(self, command: str) -> Config:
         c = default_scheme_config()
