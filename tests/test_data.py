@@ -185,3 +185,53 @@ class TestSamplers:
         dl = DataLoader(ds, sampler, post_fn=bad_post, num_threads=2)
         with pytest.raises(RuntimeError, match="boom"):
             list(dl)
+
+
+class TestNative:
+    """C++ extension (csrc/tgt_native.cpp) parity with the numpy paths."""
+
+    @pytest.fixture(scope="class")
+    def native(self):
+        return pytest.importorskip("tgt_tpu.data._native")
+
+    def test_floyd_warshall_parity(self, native):
+        rs = np.random.RandomState(0)
+        for n in (5, 17, 40):
+            adj = (rs.rand(n, n) < 0.2).astype(np.int16)
+            np.testing.assert_array_equal(native.floyd_warshall(adj),
+                                          floyd_warshall(adj))
+
+    def test_preprocess_parity(self, native):
+        rs = np.random.RandomState(1)
+        edges = np.array([[0, 1], [1, 0], [1, 2], [2, 1]], np.int64)
+        nf = rs.randint(0, 50, (3, 9)).astype(np.int16)
+        ef = rs.randint(0, 5, (4, 3)).astype(np.int16)
+        import tgt_tpu.data.structural as st
+        saved = st._native
+        st._native = False  # force numpy path for the oracle
+        try:
+            expected = preprocess_graph(3, edges, nf, ef)
+        finally:
+            st._native = saved
+        got = native.preprocess_graph(3, edges, nf, ef)
+        for g, e in zip(got, expected):
+            np.testing.assert_array_equal(g, e)
+
+    def test_bins_roundtrip_parity(self, native):
+        rs = np.random.RandomState(2)
+        m = np.triu(rs.randint(0, 255, (5, 9, 9)), 1).astype(np.uint8)
+        np.testing.assert_array_equal(native.pack_bins_multi(m),
+                                      pack_bins_multi(m))
+        np.testing.assert_array_equal(
+            native.unpack_bins_multi(pack_bins_multi(m), 9), m)
+
+    def test_stack_with_pad_parity(self, native):
+        rs = np.random.RandomState(3)
+        for shapes in ([(3,), (5,)], [(3, 2), (5, 2)],
+                       [(3, 4, 2), (5, 3, 2)], [(2, 3, 3, 4), (4, 2, 2, 4)]):
+            arrs = [rs.randn(*s).astype(np.float32) for s in shapes]
+            np.testing.assert_array_equal(native.stack_with_pad(arrs),
+                                          stack_with_pad(arrs))
+            np.testing.assert_array_equal(
+                native.stack_with_pad(arrs, {0: 8}),
+                stack_with_pad(arrs, pad_to={0: 8}))

@@ -1,0 +1,102 @@
+"""Pallas kernel tests (interpret mode on CPU; real lowering covered by the
+TPU bench runs)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import make_synthetic_batch
+from tgt_tpu.core.graph import additive_mask_from_node_mask
+from tgt_tpu.ops.triplet import (triplet_attention, triplet_attention_init,
+                                 triplet_attention_ungated)
+
+
+@pytest.fixture(autouse=True)
+def force_interpret(monkeypatch):
+    """Pallas TPU kernels run in interpreter mode on the CPU backend."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    import tgt_tpu.ops.pallas.triplet_attention as ta
+    monkeypatch.setattr(ta.pl, "pallas_call", patched)
+    yield
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    b, n, w, h = 2, 12, 32, 4
+    p = triplet_attention_init(jax.random.PRNGKey(0), w, h, gated=True)
+    pu = triplet_attention_init(jax.random.PRNGKey(1), w, h, gated=False)
+    e = jax.random.normal(jax.random.PRNGKey(2), (b, n, n, w))
+    node_mask = np.ones((b, n), np.float32)
+    node_mask[1, 9:] = 0
+    mask = additive_mask_from_node_mask(jnp.asarray(node_mask))
+    return p, pu, e, mask, h
+
+
+class TestTripletAttentionKernel:
+    def test_forward_matches_jnp(self, inputs):
+        p, _, e, mask, h = inputs
+        ref = triplet_attention(p, e, mask, num_heads=h)
+        fused = triplet_attention(p, e, mask, num_heads=h, use_pallas=True)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_ungated_forward_matches(self, inputs):
+        _, pu, e, mask, h = inputs
+        ref = triplet_attention_ungated(pu, e, mask, num_heads=h)
+        fused = triplet_attention_ungated(pu, e, mask, num_heads=h,
+                                          use_pallas=True)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_gradients_match(self, inputs):
+        p, _, e, mask, h = inputs
+
+        def loss(fn_kwargs):
+            def f(e_):
+                return (triplet_attention(p, e_, mask, num_heads=h,
+                                          **fn_kwargs) ** 2).sum()
+            return f
+
+        g_ref = jax.grad(loss({}))(e)
+        g_fused = jax.grad(loss({"use_pallas": True}))(e)
+        scale = float(jnp.max(jnp.abs(g_ref))) + 1e-9
+        np.testing.assert_allclose(np.asarray(g_fused) / scale,
+                                   np.asarray(g_ref) / scale,
+                                   rtol=0, atol=5e-3)
+
+    def test_param_gradients_match(self, inputs):
+        p, _, e, mask, h = inputs
+
+        def make_loss(use_pallas):
+            def f(pp):
+                return (triplet_attention(pp, e, mask, num_heads=h,
+                                          use_pallas=use_pallas) ** 2).sum()
+            return f
+
+        g_ref = jax.grad(make_loss(False))(p)
+        g_fused = jax.grad(make_loss(True))(p)
+        for k in g_ref:
+            for kk in g_ref[k]:
+                a, b_ = np.asarray(g_ref[k][kk]), np.asarray(g_fused[k][kk])
+                scale = np.abs(a).max() + 1e-9
+                np.testing.assert_allclose(b_ / scale, a / scale, rtol=0,
+                                           atol=5e-3,
+                                           err_msg=f"param {k}/{kk}")
+
+    def test_dropout_falls_back_to_jnp(self, inputs):
+        """attention_dropout>0 in training uses the jnp path (well-defined
+        dropout semantics); check it doesn't crash with use_pallas set."""
+        p, _, e, mask, h = inputs
+        out = triplet_attention(p, e, mask, num_heads=h, use_pallas=True,
+                                attention_dropout=0.5, deterministic=False,
+                                rng=jax.random.PRNGKey(0))
+        assert np.all(np.isfinite(np.asarray(out)))

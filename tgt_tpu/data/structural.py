@@ -30,8 +30,8 @@ def _load_native():
     global _native
     if _native is None:
         try:
-            from tgt_tpu.data import _native_ext
-            _native = _native_ext
+            from tgt_tpu.data import _native as native_mod
+            _native = native_mod
         except Exception:
             _native = False
     return _native

@@ -97,10 +97,14 @@ def tgt_layer_apply(p: Dict[str, Any], g: Graph, cfg: TGTConfig,
     if edge_update:
         e = e + dp(r[4], e_up)
         if cfg.triplet_enabled:
+            tri_kwargs = {}
+            if cfg.use_pallas and cfg.triplet_type in ("attention",
+                                                       "attention_ungated"):
+                tri_kwargs["use_pallas"] = True
             tri = get_triplet_apply(cfg.triplet_type)(
                 p["tria"], e, mask, num_heads=cfg.triplet_heads,
                 attention_dropout=cfg.triplet_dropout,
-                deterministic=deterministic, rng=r[5])
+                deterministic=deterministic, rng=r[5], **tri_kwargs)
             e = e + dp(r[6], tri)
         e = e + dp(r[7], ffn(p["edge_ffn"], e, activation=cfg.activation,
                              act_dropout=cfg.edge_act_dropout,

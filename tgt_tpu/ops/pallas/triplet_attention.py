@@ -1,0 +1,243 @@
+"""Fused Pallas TPU kernel for triplet attention.
+
+The O(N^3) triplet attention (reference: lib/tgt/layers/triplet.py:179-250)
+decomposes per (batch, j): both the "in" and "out" directions are standard
+biased-gated attention over k for each query i, with the (i, k)-indexed
+bias/gate shared across j:
+
+  in : S[i,k] = Q[i,j]·K[j,k]·scale + E_in[i,k];  softmax_k; gate σ(G_in[i,k])
+  out: S[i,k] = Q[i,j]·K[k,j]·scale + E_out[k,i]; softmax_k; gate σ(G_out[k,i])
+
+After pre-transposing operands to a head-major per-j layout
+  q_t, k_t, v_t: (b, h, Nj, N, d),  bias, gate: (b, h, Ni, Nk)
+one kernel serves both directions. The (b, N, N, N, h) logits tensor never
+exists in HBM — each (b, h, j) grid cell computes its (N, N) logit tile in
+VMEM (f32), applies masked softmax and the sigmoid gate, and aggregates V.
+This is what makes large batches viable: the XLA fallback materializes
+hundreds of MB of logits per layer and goes HBM-bound (measured: b=32 slower
+in total throughput than b=8 on v5e).
+
+The backward pass is a second Pallas kernel (flash-attention-style
+recompute): no N^3 residuals are saved; dbias/dgate accumulate across the
+j grid dimension in VMEM.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, o_ref, *, scale):
+    # blocks: q (N, d), k (N, d), v (N, d), bias (N, N), gate (N, N)
+    q = q_ref[0, 0, 0]
+    k = k_ref[0, 0, 0]
+    v = v_ref[0, 0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = s + bias_ref[0, 0].astype(jnp.float32)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    a = p * jax.nn.sigmoid(gate_ref[0, 0].astype(jnp.float32))
+    o_ref[0, 0, 0] = jnp.dot(a.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32
+                             ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, dbias_ref, dgate_ref, *, scale):
+    # grid: (b, h, j) with j innermost ("arbitrary") so dbias/dgate can
+    # accumulate in their VMEM block across j steps.
+    j = pl.program_id(2)
+
+    q = q_ref[0, 0, 0]
+    k = k_ref[0, 0, 0]
+    v = v_ref[0, 0, 0]
+    do = do_ref[0, 0, 0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = s + bias_ref[0, 0].astype(jnp.float32)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    g = jax.nn.sigmoid(gate_ref[0, 0].astype(jnp.float32))
+    a = p * g
+
+    # dV = A^T @ dO
+    dv_ref[0, 0, 0] = jax.lax.dot_general(
+        a.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    # dA = dO @ V^T
+    da = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dgate_blk = (da * p * g * (1.0 - g)).astype(dgate_ref.dtype)
+    dp = da * g
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+
+    @pl.when(j == 0)
+    def _():
+        dbias_ref[0, 0] = jnp.zeros(dbias_ref.shape[2:], dbias_ref.dtype)
+        dgate_ref[0, 0] = jnp.zeros(dgate_ref.shape[2:], dgate_ref.dtype)
+
+    dbias_ref[0, 0] += ds.astype(dbias_ref.dtype)
+    dgate_ref[0, 0] += dgate_blk
+
+    dsv = ds.astype(q.dtype)
+    dq_ref[0, 0, 0] = (jnp.dot(dsv, k, preferred_element_type=jnp.float32)
+                       * scale).astype(dq_ref.dtype)
+    dk_ref[0, 0, 0] = (jax.lax.dot_general(
+        dsv, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+
+
+def _specs(n, d, h_blocks=1):
+    qkv = pl.BlockSpec((1, 1, 1, n, d), lambda b, h, j: (b, h, j, 0, 0))
+    bias = pl.BlockSpec((1, 1, n, n), lambda b, h, j: (b, h, 0, 0))
+    return qkv, bias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _triplet_core(q_t, k_t, v_t, bias, gate, scale):
+    return _triplet_core_fwd_impl(q_t, k_t, v_t, bias, gate, scale)
+
+
+def _triplet_core_fwd_impl(q_t, k_t, v_t, bias, gate, scale):
+    b, h, nj, n, d = q_t.shape
+    qkv_spec, bias_spec = _specs(n, d)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        grid=(b, h, nj),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, bias_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct(q_t.shape, q_t.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(q_t, k_t, v_t, bias, gate)
+
+
+def _triplet_core_fwd(q_t, k_t, v_t, bias, gate, scale):
+    out = _triplet_core_fwd_impl(q_t, k_t, v_t, bias, gate, scale)
+    return out, (q_t, k_t, v_t, bias, gate)
+
+
+def _triplet_core_bwd(scale, res, g_out):
+    q_t, k_t, v_t, bias, gate = res
+    b, h, nj, n, d = q_t.shape
+    qkv_spec, bias_spec = _specs(n, d)
+    dq, dk, dv, dbias, dgate = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        grid=(b, h, nj),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, bias_spec,
+                  qkv_spec],
+        out_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, bias_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(q_t.shape, q_t.dtype),
+            jax.ShapeDtypeStruct(k_t.shape, k_t.dtype),
+            jax.ShapeDtypeStruct(v_t.shape, v_t.dtype),
+            jax.ShapeDtypeStruct(bias.shape, jnp.float32),
+            jax.ShapeDtypeStruct(gate.shape, jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(q_t, k_t, v_t, bias, gate, g_out)
+    return dq, dk, dv, dbias.astype(bias.dtype), dgate.astype(gate.dtype)
+
+
+_triplet_core.defvjp(_triplet_core_fwd, _triplet_core_bwd)
+
+
+def triplet_biased_attention(q_t: jnp.ndarray, k_t: jnp.ndarray,
+                             v_t: jnp.ndarray, bias: jnp.ndarray,
+                             gate: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Per-j biased gated attention.
+
+    q_t/k_t/v_t: (b, h, Nj, N, d); bias/gate: (b, h, Ni, Nk) with the additive
+    mask already folded in. Returns (b, h, Nj, Ni, d) f32-accumulated outputs
+    in q_t.dtype.
+    """
+    return _triplet_core(q_t, k_t, v_t, bias, gate, scale)
+
+
+# ---------------------------------------------------------------------------
+# model-facing wrapper: same params/semantics as ops/triplet.triplet_attention
+# ---------------------------------------------------------------------------
+
+def _split_heads(x, d, h):
+    """(b, N, N, d*h) -> (b, N, N, d, h) with head-fastest layout (parity with
+    the reference's .view, lib/tgt/layers/triplet.py:213-215)."""
+    b, n, _, _ = x.shape
+    return x.reshape(b, n, n, d, h)
+
+
+def triplet_attention_fused(p, e, mask, *, num_heads: int,
+                            gated: bool = True) -> jnp.ndarray:
+    """Drop-in fused forward for gated/ungated triplet attention.
+
+    Projections and the output linear run in XLA (they are MXU-friendly
+    GEMMs); the O(N^3) logit/softmax/aggregate core runs in the Pallas kernel
+    for both directions. Numerics match ops/triplet.triplet_attention
+    (without attention dropout — the published configs use
+    triplet_dropout=0; the jnp path handles the dropout>0 case).
+    """
+    from tgt_tpu.ops.common import layernorm, linear
+
+    b, n, _, w = e.shape
+    h = num_heads
+    d = w // h
+    scale = d ** -0.5
+    e_ln = layernorm(p["tri_ln_e"], e)
+    mask3 = mask[..., 0]                               # (b, N, N) additive
+
+    def direction(qkv_name, bias_name, transpose_bias):
+        q, k, v = jnp.split(linear(p[qkv_name], e_ln), 3, axis=-1)
+        q = _split_heads(q, d, h)
+        k = _split_heads(k, d, h)
+        v = _split_heads(v, d, h)
+        if gated:
+            e_b, g_b = jnp.split(linear(p[bias_name], e_ln), 2, axis=-1)
+        else:
+            e_b = linear(p[bias_name], e_ln)
+            g_b = jnp.zeros_like(e_b)
+        if transpose_bias:  # out-direction: bias indexed (k, i) -> (i, k)
+            e_b = jnp.swapaxes(e_b, 1, 2)
+            g_b = jnp.swapaxes(g_b, 1, 2)
+            m = jnp.swapaxes(mask3, 1, 2)
+        else:
+            m = mask3
+        bias = (e_b + m[..., None]).transpose(0, 3, 1, 2)   # (b, h, i, k)
+        if gated:
+            gate = (g_b + m[..., None]).transpose(0, 3, 1, 2)
+        else:
+            # ungated == gate logits +inf -> sigmoid == 1
+            gate = jnp.full_like(bias, 30.0)
+        # q indexed (i, j) -> (b, h, j, i, d); k/v: in-dir (j, k) natural for
+        # the in-direction, out-dir keys K[k, j] -> same perm as q
+        if transpose_bias:
+            q_t = q.transpose(0, 4, 2, 1, 3)
+            k_t = k.transpose(0, 4, 2, 1, 3)
+            v_t = v.transpose(0, 4, 2, 1, 3)
+        else:
+            q_t = q.transpose(0, 4, 2, 1, 3)
+            k_t = k.transpose(0, 4, 1, 2, 3)
+            v_t = v.transpose(0, 4, 1, 2, 3)
+        out_t = triplet_biased_attention(q_t, k_t, v_t, bias, gate, scale)
+        # (b, h, j, i, d) -> (b, i, j, d, h)
+        return out_t.transpose(0, 3, 2, 4, 1)
+
+    if gated:
+        va_in = direction("lin_QKV_in", "lin_EG_in", False)
+        va_out = direction("lin_QKV_out", "lin_EG_out", True)
+    else:
+        va_in = direction("lin_QKV_in", "lin_E_in", False)
+        va_out = direction("lin_QKV_out", "lin_E_out", True)
+    va = jnp.concatenate([va_in, va_out], axis=-1).reshape(b, n, n, w * 2)
+    return linear(p["lin_O"], va)

@@ -172,7 +172,11 @@ def triplet_attention_init(rng: jax.Array, edge_width: int, num_heads: int,
 
 
 def _triplet_attention_impl(p, e, mask, *, num_heads, gated, attention_dropout,
-                            deterministic, rng):
+                            deterministic, rng, use_pallas=False):
+    if use_pallas and (deterministic or attention_dropout == 0.0):
+        from tgt_tpu.ops.pallas.triplet_attention import triplet_attention_fused
+        return triplet_attention_fused(p, e, mask, num_heads=num_heads,
+                                       gated=gated)
     b, n, _, w = e.shape
     d = w // num_heads
     scale = d ** -0.5
@@ -225,19 +229,21 @@ def _triplet_attention_impl(p, e, mask, *, num_heads, gated, attention_dropout,
 
 
 def triplet_attention(p, e, mask, *, num_heads, attention_dropout=0.0,
-                      deterministic=True, rng=None):
+                      deterministic=True, rng=None, use_pallas=False):
     """Gated triplet attention (reference: triplet.py:179-250)."""
     return _triplet_attention_impl(p, e, mask, num_heads=num_heads, gated=True,
                                    attention_dropout=attention_dropout,
-                                   deterministic=deterministic, rng=rng)
+                                   deterministic=deterministic, rng=rng,
+                                   use_pallas=use_pallas)
 
 
 def triplet_attention_ungated(p, e, mask, *, num_heads, attention_dropout=0.0,
-                              deterministic=True, rng=None):
+                              deterministic=True, rng=None, use_pallas=False):
     """Ungated triplet attention (reference: triplet.py:253-322)."""
     return _triplet_attention_impl(p, e, mask, num_heads=num_heads, gated=False,
                                    attention_dropout=attention_dropout,
-                                   deterministic=deterministic, rng=rng)
+                                   deterministic=deterministic, rng=rng,
+                                   use_pallas=use_pallas)
 
 
 def axial_attention_init(rng: jax.Array, edge_width: int,
