@@ -90,6 +90,27 @@ def add_edge_mask(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return batch
 
 
+def repad_to_bucket(batch: Dict[str, np.ndarray], bucket: int
+                    ) -> Dict[str, np.ndarray]:
+    """Re-pad a batch's node axes to a different bucket size (used to
+    pre-compile all bucket shapes up front — the TPU analog of the
+    reference's allocate_max_batch)."""
+    out = {}
+    for k, v in batch.items():
+        if k in _NODE_AXES:
+            pad = [(0, 0)] * v.ndim
+            for d in _NODE_AXES[k]:
+                cur = v.shape[d + 1]
+                if cur < bucket:
+                    pad[d + 1] = (0, bucket - cur)
+                elif cur > bucket:
+                    raise ValueError(f"batch axis larger than bucket: {k}")
+            out[k] = np.pad(v, pad)
+        else:
+            out[k] = v
+    return out
+
+
 def pad_batch_dim(batch: Dict[str, np.ndarray], target_bsize: int
                   ) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
     """Zero-pad the batch dimension to ``target_bsize``; returns the batch and

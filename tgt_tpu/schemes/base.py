@@ -34,6 +34,24 @@ from tgt_tpu.models import TGTConfig, make_model
 from tgt_tpu.training import schedules
 
 
+class Subset:
+    """First-k view of a dataset (trial-run capping)."""
+
+    def __init__(self, dataset, k: int):
+        self.dataset = dataset
+        self.k = k
+
+    def __len__(self):
+        return self.k
+
+    def __getitem__(self, i):
+        return self.dataset[i]
+
+    @property
+    def max_nodes_index(self):
+        return 0
+
+
 def default_scheme_config() -> Config:
     """Shared config keys; defaults mirror the reference
     (training.py:196-241, tgt_training.py:12-49, training_mixins.py:276-290)."""
@@ -97,6 +115,13 @@ def default_scheme_config() -> Config:
         clip_grad_norm=None,
         weight_decay=0.0,
         max_recovery_tries=10,
+        # ReduceLR-on-plateau (off unless rlr_factor set)
+        rlr_factor=None,
+        rlr_patience=10,
+        stopping_lr=0.0,
+        # pre-compile every bucket shape before epoch 1 (the TPU analog of
+        # the reference's allocate_max_batch, tgt_training.py:118-135)
+        precompile_buckets=False,
         # eval / predict
         evaluation_samples=10,
         prediction_samples=10,
@@ -215,6 +240,10 @@ class TGTScheme:
                 return_idx=True,
                 transforms=[AddStructuralData()],
                 additional_columns=self.extra_columns(split))
+        if getattr(self.cfg, "trial_run", False):
+            # trial_run caps datasets to 2 batches for a smoke run
+            # (reference training.py:57-70,235-240)
+            ds = Subset(ds, min(len(ds), self.cfg.batch_size * 2))
         self._datasets[split] = ds
         return ds
 

@@ -102,6 +102,16 @@ class Trainer:
         self.schedule = scheme.make_lr_schedule()
         self.opt_init, self.opt_update = make_optimizer(self.cfg, self.schedule)
 
+        # optional ReduceLR-on-plateau controller (reference
+        # training_mixins.py:170-255); active when rlr_factor is configured
+        self.plateau = None
+        if getattr(self.cfg, "rlr_factor", None):
+            from tgt_tpu.training.schedules import PlateauController
+            self.plateau = PlateauController(
+                factor=self.cfg.rlr_factor,
+                patience=getattr(self.cfg, "rlr_patience", 10),
+                stopping_lr=getattr(self.cfg, "stopping_lr", 0.0))
+
         # host-side counters (reference state dict, training.py:246-248)
         self.epoch = 0
         self.global_step = 0
@@ -190,6 +200,28 @@ class Trainer:
 
         return jax.jit(eval_step)
 
+    def precompile(self, state) -> None:
+        """AOT-compile the train step for every bucket shape before epoch 1
+        (analog of the reference's allocate_max_batch warmup,
+        tgt_training.py:118-135 — fixed shapes make it a compile cache fill
+        rather than an allocator cache fill)."""
+        from tgt_tpu.data.collate import repad_to_bucket
+        if self._train_step is None:
+            self._train_step = self.build_train_step()
+        loader = self.scheme.train_loader(0, self.rank, self.world_size)
+        batch = next(iter(loader))
+        for bucket in getattr(self.cfg, "buckets", []):
+            try:
+                fake = repad_to_bucket(batch, bucket)
+            except ValueError:
+                continue
+            db = self.scheme.device_batch(fake)
+            self._train_step.lower(
+                state, db, jnp.asarray(0, jnp.int32), jax.random.PRNGKey(0),
+                jnp.asarray(1.0, jnp.float32)).compile()
+            if self.is_main:
+                print(f"precompiled bucket {bucket}", flush=True)
+
     # ------------------------------------------------------------------
     # loops
     # ------------------------------------------------------------------
@@ -277,6 +309,12 @@ class Trainer:
         if self.is_main:
             os.makedirs(self.log_path, exist_ok=True)
             self.save_config()
+            from tgt_tpu.utils.profiling import model_summary
+            model_summary(state["params"],
+                          os.path.join(self.model_path, "model_summary.txt"))
+
+        if getattr(cfg, "precompile_buckets", False):
+            self.precompile(state)
 
         history = []
         val_every = getattr(cfg, "validation_frequency", 1)
@@ -314,6 +352,21 @@ class Trainer:
                              for k, v in val_metrics.items()})
                 logs["val_time"] = time.time() - t0
                 self.update_monitor(logs, state)
+                if self.plateau is not None and "val_loss" in logs:
+                    should_stop = self.plateau.update(
+                        logs["val_loss"], train_logs.get("lr", 0.0))
+                    self.scheme.lr_scale = self.plateau.scale
+                    logs["lr_scale"] = self.plateau.scale
+                    if should_stop:
+                        if self.is_main:
+                            print("STOP: lr fell below stopping_lr",
+                                  flush=True)
+                        self.epoch += 1
+                        self.checkpoint(state)
+                        history.append(logs)
+                        if self.is_main:
+                            self.append_history(logs)
+                        break
 
             self.epoch += 1
             self.checkpoint(state)
