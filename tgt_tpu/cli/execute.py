@@ -52,11 +52,21 @@ def configs_from_args(args: List[str]) -> Dict[str, Any]:
 
 
 def execute(command: str, config: Dict[str, Any],
-            rank: int = 0, world_size: int = 1) -> Optional[Dict]:
+            rank: Optional[int] = None,
+            world_size: Optional[int] = None) -> Optional[Dict]:
     if command not in COMMANDS:
         raise ValueError(f"unknown command {command}; one of {COMMANDS}")
     scheme_cls = get_scheme(config["scheme"])
     scheme = scheme_cls(config, command=command)
+
+    if rank is None or world_size is None:
+        # multi-host rendezvous (replaces DDP spawn, SURVEY.md §5.8):
+        # every host runs the same command; jax.distributed coordinates.
+        from tgt_tpu.parallel.mesh import initialize_distributed
+        rank, world_size = initialize_distributed(
+            coordinator=getattr(scheme.cfg, "jax_coordinator", None),
+            num_processes=getattr(scheme.cfg, "jax_num_processes", None),
+            process_id=getattr(scheme.cfg, "jax_process_id", None))
 
     from tgt_tpu.training import Trainer
     trainer = Trainer(scheme, rank=rank, world_size=world_size)

@@ -71,6 +71,10 @@ def default_scheme_config() -> Config:
         dataloader_workers=1,
         evaluation_type="prediction",
         mixed_precision=False,
+        # multi-host rendezvous (jax.distributed); None = single host / auto
+        jax_coordinator=None,
+        jax_num_processes=None,
+        jax_process_id=None,
         dataset_source="pcqm",            # 'pcqm' | 'synthetic'
         dataset_path="data/PCQM",
         random_seed=0,
