@@ -11,20 +11,20 @@ bias/gate shared across j:
 After pre-transposing operands to a head-major per-j layout
   q_t, k_t, v_t: (b, h, Nj, N, d),  bias, gate: (b, h, Ni, Nk)
 one kernel serves both directions. The (b, N, N, N, h) logits tensor never
-exists in HBM — each (b, h, j) grid cell computes its (N, N) logit tile in
-VMEM (f32), applies masked softmax and the sigmoid gate, and aggregates V.
-This is what makes large batches viable: the XLA fallback materializes
-hundreds of MB of logits per layer and goes HBM-bound (measured: b=32 slower
-in total throughput than b=8 on v5e).
+exists in HBM — logit tiles live in VMEM registers only.
 
-The backward pass is a second Pallas kernel (flash-attention-style
-recompute): no N^3 residuals are saved; dbias/dgate accumulate across the
-j grid dimension in VMEM.
+Kernel geometry: grid (b, h) — coarse on purpose. Each cell DMAs its whole
+(Nj, N, d) q/k/v slabs (~10-100KB — large enough to amortize DMA fixed cost;
+a per-(b,h,j) grid issues thousands of ~1.5KB DMAs and is DMA-latency-bound)
+and loops over j with `fori_loop`, computing (N, N) logits + masked softmax +
+sigmoid gate + V-aggregation per step. dbias/dgate accumulate in VMEM across
+the j loop inside the cell (each (b, h) owns its bias gradient block).
+
+The backward pass is a second recompute-style kernel (no N^3 residuals).
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,75 +33,76 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, o_ref, *, scale):
-    # blocks: q (N, d), k (N, d), v (N, d), bias (N, N), gate (N, N)
-    q = q_ref[0, 0, 0]
-    k = k_ref[0, 0, 0]
-    v = v_ref[0, 0, 0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    s = s + bias_ref[0, 0].astype(jnp.float32)
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    a = p * jax.nn.sigmoid(gate_ref[0, 0].astype(jnp.float32))
-    o_ref[0, 0, 0] = jnp.dot(a.astype(v.dtype), v,
-                             preferred_element_type=jnp.float32
-                             ).astype(o_ref.dtype)
+    nj = q_ref.shape[2]
+    bias = bias_ref[0, 0].astype(jnp.float32)
+    gate = jax.nn.sigmoid(gate_ref[0, 0].astype(jnp.float32))
+
+    def body(j, _):
+        q = q_ref[0, 0, j]
+        k = k_ref[0, 0, j]
+        v = v_ref[0, 0, j]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        a = (e / jnp.sum(e, axis=-1, keepdims=True)) * gate
+        o_ref[0, 0, j] = jnp.dot(a.astype(v.dtype), v,
+                                 preferred_element_type=jnp.float32
+                                 ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nj, body, 0)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, dbias_ref, dgate_ref, *, scale):
-    # grid: (b, h, j) with j innermost ("arbitrary") so dbias/dgate can
-    # accumulate in their VMEM block across j steps.
-    j = pl.program_id(2)
-
-    q = q_ref[0, 0, 0]
-    k = k_ref[0, 0, 0]
-    v = v_ref[0, 0, 0]
-    do = do_ref[0, 0, 0].astype(jnp.float32)
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    s = s + bias_ref[0, 0].astype(jnp.float32)
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    nj = q_ref.shape[2]
+    bias = bias_ref[0, 0].astype(jnp.float32)
     g = jax.nn.sigmoid(gate_ref[0, 0].astype(jnp.float32))
-    a = p * g
 
-    # dV = A^T @ dO
-    dv_ref[0, 0, 0] = jax.lax.dot_general(
-        a.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-    # dA = dO @ V^T
-    da = jax.lax.dot_general(
-        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dgate_blk = (da * p * g * (1.0 - g)).astype(dgate_ref.dtype)
-    dp = da * g
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dbias_ref[0, 0] = jnp.zeros(dbias_ref.shape[2:], dbias_ref.dtype)
+    dgate_ref[0, 0] = jnp.zeros(dgate_ref.shape[2:], dgate_ref.dtype)
 
-    @pl.when(j == 0)
-    def _():
-        dbias_ref[0, 0] = jnp.zeros(dbias_ref.shape[2:], dbias_ref.dtype)
-        dgate_ref[0, 0] = jnp.zeros(dgate_ref.shape[2:], dgate_ref.dtype)
+    def body(j, _):
+        q = q_ref[0, 0, j]
+        k = k_ref[0, 0, j]
+        v = v_ref[0, 0, j]
+        do = do_ref[0, 0, j].astype(jnp.float32)
 
-    dbias_ref[0, 0] += ds.astype(dbias_ref.dtype)
-    dgate_ref[0, 0] += dgate_blk
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        a = p * g
 
-    dsv = ds.astype(q.dtype)
-    dq_ref[0, 0, 0] = (jnp.dot(dsv, k, preferred_element_type=jnp.float32)
-                       * scale).astype(dq_ref.dtype)
-    dk_ref[0, 0, 0] = (jax.lax.dot_general(
-        dsv, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+        dv_ref[0, 0, j] = jax.lax.dot_general(
+            a.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        da = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dgate_ref[0, 0] += (da * p * g * (1.0 - g)).astype(dgate_ref.dtype)
+        dp = da * g
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbias_ref[0, 0] += ds.astype(dbias_ref.dtype)
+
+        dsv = ds.astype(q.dtype)
+        dq_ref[0, 0, j] = (jnp.dot(dsv, k, preferred_element_type=jnp.float32)
+                           * scale).astype(dq_ref.dtype)
+        dk_ref[0, 0, j] = (jax.lax.dot_general(
+            dsv, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nj, body, 0)
 
 
-def _specs(n, d, h_blocks=1):
-    qkv = pl.BlockSpec((1, 1, 1, n, d), lambda b, h, j: (b, h, j, 0, 0))
-    bias = pl.BlockSpec((1, 1, n, n), lambda b, h, j: (b, h, 0, 0))
+def _specs(nj, n, d):
+    qkv = pl.BlockSpec((1, 1, nj, n, d), lambda b, h: (b, h, 0, 0, 0))
+    bias = pl.BlockSpec((1, 1, n, n), lambda b, h: (b, h, 0, 0))
     return qkv, bias
 
 
@@ -112,15 +113,15 @@ def _triplet_core(q_t, k_t, v_t, bias, gate, scale):
 
 def _triplet_core_fwd_impl(q_t, k_t, v_t, bias, gate, scale):
     b, h, nj, n, d = q_t.shape
-    qkv_spec, bias_spec = _specs(n, d)
+    qkv_spec, bias_spec = _specs(nj, n, d)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
-        grid=(b, h, nj),
+        grid=(b, h),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, bias_spec],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct(q_t.shape, q_t.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel")),
     )(q_t, k_t, v_t, bias, gate)
 
 
@@ -132,10 +133,10 @@ def _triplet_core_fwd(q_t, k_t, v_t, bias, gate, scale):
 def _triplet_core_bwd(scale, res, g_out):
     q_t, k_t, v_t, bias, gate = res
     b, h, nj, n, d = q_t.shape
-    qkv_spec, bias_spec = _specs(n, d)
+    qkv_spec, bias_spec = _specs(nj, n, d)
     dq, dk, dv, dbias, dgate = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale),
-        grid=(b, h, nj),
+        grid=(b, h),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, bias_spec,
                   qkv_spec],
         out_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, bias_spec],
@@ -147,7 +148,7 @@ def _triplet_core_bwd(scale, res, g_out):
             jax.ShapeDtypeStruct(gate.shape, jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel")),
     )(q_t, k_t, v_t, bias, gate, g_out)
     return dq, dk, dv, dbias.astype(bias.dtype), dgate.astype(gate.dtype)
 
@@ -206,10 +207,11 @@ def triplet_attention_fused(p, e, mask, *, num_heads: int,
             e_b, g_b = jnp.split(linear(p[bias_name], e_ln), 2, axis=-1)
         else:
             e_b = linear(p[bias_name], e_ln)
-            g_b = jnp.zeros_like(e_b)
+            g_b = None
         if transpose_bias:  # out-direction: bias indexed (k, i) -> (i, k)
             e_b = jnp.swapaxes(e_b, 1, 2)
-            g_b = jnp.swapaxes(g_b, 1, 2)
+            if g_b is not None:
+                g_b = jnp.swapaxes(g_b, 1, 2)
             m = jnp.swapaxes(mask3, 1, 2)
         else:
             m = mask3
@@ -219,8 +221,8 @@ def triplet_attention_fused(p, e, mask, *, num_heads: int,
         else:
             # ungated == gate logits +inf -> sigmoid == 1
             gate = jnp.full_like(bias, 30.0)
-        # q indexed (i, j) -> (b, h, j, i, d); k/v: in-dir (j, k) natural for
-        # the in-direction, out-dir keys K[k, j] -> same perm as q
+        # q indexed (i, j) -> (b, h, j, i, d); in-dir keys K[j, k] natural,
+        # out-dir keys K[k, j] -> same perm as q
         if transpose_bias:
             q_t = q.transpose(0, 4, 2, 1, 3)
             k_t = k.transpose(0, 4, 2, 1, 3)

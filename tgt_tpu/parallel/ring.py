@@ -1,0 +1,188 @@
+"""Edge-block (pair-axis) ring execution for triplet attention.
+
+The north-star capability the reference lacks (SURVEY.md §5.7): shard the
+(N, N) pair grid of the edge channel over the ``pair`` mesh axis on the
+first node axis (i-blocks), and compute the O(N^3) triplet interaction with a
+ring exchange of j-blocks over ICI, overlapping each collective hop with the
+on-chip block computation — the graph analog of ring attention.
+
+Decomposition (in-direction; the out-direction mirrors with transposed
+operands — see ops/pallas/triplet_attention.py for the shared per-j algebra):
+
+  out[i, j] = sum_k softmax_k(Q[i, j]·K[j, k] + E[i, k]) * sig(G[i,k]) V[j, k]
+
+With e sharded on i-blocks:
+  - Q rows, E/G bias rows, and output rows (i-local) stay local;
+  - K/V j-row-blocks live on the device owning row j and rotate around the
+    ring via ``lax.ppermute``; each of the P steps computes the local
+    (i_local, j_block) output tile while the next block is in flight.
+
+Per layer the ring moves K/V once around (the all-gather volume), but peak
+memory per device drops by P and each hop overlaps with a block's compute.
+
+Used under ``jax.shard_map`` with the ``pair`` axis of parallel/mesh.py;
+``tests/test_ring.py`` asserts equality with the unsharded oracle on the
+virtual CPU mesh.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tgt_tpu.parallel.mesh import PAIR_AXIS
+
+
+def ring_pass(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Send to the next device on the ring (wrapping)."""
+    n = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
+def _block_attention(q_blk, k_blk, v_blk, bias, gate, scale):
+    """One (i_local, j_block) tile of per-j biased gated attention.
+
+    q_blk: (b, i_loc, j_blk, d, h) — Q rows for local i, block j columns
+    k_blk/v_blk: (b, j_blk, N, d, h) — K/V rows for the j block
+    bias/gate: (b, i_loc, N, h) — additive bias over k (mask folded in)
+    returns (b, i_loc, j_blk, d, h)
+    """
+    s = jnp.einsum("bijdh,bjkdh->bijkh", q_blk * scale, k_blk)
+    s = s + bias[:, :, None]
+    a = jax.nn.softmax(s.astype(jnp.float32), axis=3)
+    a = a * jax.nn.sigmoid(gate.astype(jnp.float32))[:, :, None]
+    return jnp.einsum("bijkh,bjkdh->bijdh", a.astype(v_blk.dtype), v_blk)
+
+
+def ring_triplet_direction(q_local: jnp.ndarray, k_local: jnp.ndarray,
+                           v_local: jnp.ndarray, bias_local: jnp.ndarray,
+                           gate_local: jnp.ndarray, scale: float,
+                           axis_name: str = PAIR_AXIS) -> jnp.ndarray:
+    """One triplet direction under i-block sharding with a j-block ring.
+
+    Shapes (per device, inside shard_map):
+      q_local:    (b, i_loc, N, d, h)   Q[i, j] for local i rows, all j
+      k_local:    (b, j_loc, N, d, h)   K[j, k] for local j rows, all k
+      v_local:    (b, j_loc, N, d, h)
+      bias_local: (b, i_loc, N, h)      E[i, k] + mask for local i rows
+      gate_local: (b, i_loc, N, h)      G[i, k] + mask
+    Returns out_local (b, i_loc, N, d, h): output rows for local i, all j.
+
+    The j dimension of the output is assembled block-by-block as K/V blocks
+    arrive around the ring; compute on block t overlaps the ppermute of
+    block t+1 (XLA schedules the independent ops concurrently).
+    """
+    p = jax.lax.axis_size(axis_name)
+    my = jax.lax.axis_index(axis_name)
+    b, i_loc, n, d, h = q_local.shape
+    j_blk = k_local.shape[1]
+
+    def step(carry, t):
+        k_blk, v_blk = carry
+        # which global j-block is this? blocks rotate: at step t we hold the
+        # block originally owned by device (my - t) mod p
+        src = (my - t) % p
+        q_blk = jax.lax.dynamic_slice_in_dim(q_local, src * j_blk, j_blk,
+                                             axis=2)
+        out_blk = _block_attention(q_blk, k_blk, v_blk, bias_local,
+                                   gate_local, scale)
+        next_k = ring_pass(k_blk, axis_name)
+        next_v = ring_pass(v_blk, axis_name)
+        return (next_k, next_v), (src, out_blk)
+
+    (_, _), (srcs, out_blocks) = jax.lax.scan(
+        step, (k_local, v_local), jnp.arange(p))
+
+    # out_blocks: (p, b, i_loc, j_blk, d, h) with global block index srcs[t];
+    # scatter back into j order. pvary marks the zeros as device-varying so
+    # the fori carry types match (the updates depend on axis_index).
+    out = jax.lax.pvary(jnp.zeros((b, i_loc, n, d, h), out_blocks.dtype),
+                        axis_name)
+
+    def place(t, acc):
+        blk = out_blocks[t]
+        return jax.lax.dynamic_update_slice_in_dim(acc, blk, srcs[t] * j_blk,
+                                                   axis=2)
+
+    out = jax.lax.fori_loop(0, p, place, out)
+    return out
+
+
+def triplet_attention_ring(params, e_local: jnp.ndarray,
+                           mask_local: jnp.ndarray, *, num_heads: int,
+                           axis_name: str = PAIR_AXIS) -> jnp.ndarray:
+    """Full gated triplet attention under pair-axis i-block sharding.
+
+    e_local: (b, i_loc, N, W) — the edge channel sharded on the first node
+    axis. mask_local: (b, i_loc, N, 1) additive. Must run inside shard_map
+    with ``axis_name`` mapped over the pair mesh axis. Semantics match
+    ops/triplet.triplet_attention for the gathered result.
+
+    Note the layernorm is row-local (per-(i,j) over W) so i-sharding
+    commutes with it.
+    """
+    from tgt_tpu.ops.common import layernorm, linear
+
+    b, i_loc, n, w = e_local.shape
+    h = num_heads
+    d = w // h
+    scale = d ** -0.5
+    e_ln = layernorm(params["tri_ln_e"], e_local)
+    m3 = mask_local[..., 0]
+
+    def heads(x):
+        return x.reshape(b, i_loc, n, d, h)
+
+    # ---- in direction -------------------------------------------------
+    q, k, v = map(heads, jnp.split(linear(params["lin_QKV_in"], e_ln), 3, -1))
+    e_b, g_b = jnp.split(linear(params["lin_EG_in"], e_ln), 2, -1)
+    bias = e_b + m3[..., None]
+    gate = g_b + m3[..., None]
+    # q rows are i-local with j columns ✓; k/v rows are j-local (the i axis
+    # of e_local IS the j-row owner axis for K/V) ✓
+    va_in = ring_triplet_direction(q, k, v, bias, gate, scale, axis_name)
+
+    # ---- out direction ------------------------------------------------
+    # out[i,j] = sum_k softmax_k(Q[i,j]·K[k,j] + E_out[k,i]) V[k,j]
+    # == the in-direction with K' = K^T, V' = V^T, E' = E_out^T (pair-axes
+    # transposed), Q unchanged, output directly (i, j). Under i-sharding the
+    # pair transpose is an all_to_all over the ring axis.
+    q2, k2, v2 = map(heads, jnp.split(linear(params["lin_QKV_out"], e_ln),
+                                      3, -1))
+    e_b2, g_b2 = jnp.split(linear(params["lin_EG_out"], e_ln), 2, -1)
+    kt = _pair_transpose(k2, axis_name)
+    vt = _pair_transpose(v2, axis_name)
+    bias2 = _pair_transpose_bias(e_b2 + m3[..., None], axis_name)
+    gate2 = _pair_transpose_bias(g_b2 + m3[..., None], axis_name)
+    va_out = ring_triplet_direction(q2, kt, vt, bias2, gate2, scale,
+                                    axis_name)
+
+    va = jnp.concatenate([va_in, va_out], axis=-1).reshape(b, i_loc, n, 2 * w)
+    return linear(params["lin_O"], va)
+
+
+def _pair_transpose(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Transpose the two node axes of an i-sharded (b, i_loc, N, ...) tensor,
+    returning the result sharded the same way (all_to_all over the pair axis).
+    """
+    p = jax.lax.axis_size(axis_name)
+    b, i_loc, n = x.shape[:3]
+    blk = n // p
+    # split the full axis into p blocks: (b, i_loc, p, blk, ...)
+    xs = x.reshape(x.shape[0], i_loc, p, blk, *x.shape[3:])
+    # all_to_all: exchange so each device gets its column block of every row
+    xt = jax.lax.all_to_all(xs, axis_name, split_axis=2, concat_axis=2,
+                            tiled=False)
+    # xt: (b, i_loc, p, blk, ...) where axis 2 indexes source devices =
+    # global i-block; reassemble global-i axis then swap with local columns
+    xt = jnp.moveaxis(xt, 2, 1)                     # (b, p, i_loc, blk, ...)
+    xt = xt.reshape(x.shape[0], p * i_loc, blk, *x.shape[3:])
+    return jnp.swapaxes(xt, 1, 2)                   # (b, blk, N, ...)
+
+
+def _pair_transpose_bias(bias: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Same pair-transpose for (b, i_loc, N, h) bias tensors."""
+    return _pair_transpose(bias, axis_name)
