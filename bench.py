@@ -13,10 +13,25 @@ Usage: python bench.py [--small] [--steps N]
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _enable_compile_cache():
+    """Persistent compilation cache — compiles here go through a remote
+    service with high variance (7-10 min for the flagship step); the cache
+    makes repeat runs (e.g. the driver's end-of-round bench) start in
+    seconds."""
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def build(small: bool):
@@ -100,6 +115,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    _enable_compile_cache()
+    # the TPU tunnel admits one process at a time; retry if another process
+    # holds a stale claim
+    for attempt in range(5):
+        try:
+            jax.devices()
+            break
+        except RuntimeError:
+            time.sleep(45)
+
     step, params, opt_state, bsz, n, pool = build(args.small)
     rs = np.random.RandomState(1)
 
@@ -146,4 +171,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # emit a parseable line even on failure
+        print(json.dumps({"metric": "graphs/sec/chip (TGT-At 102M train step)",
+                          "value": 0.0, "unit": "graphs/s",
+                          "vs_baseline": None,
+                          "error": f"{type(exc).__name__}: {exc}"[:300]}))
+        raise SystemExit(1)
