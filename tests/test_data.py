@@ -235,3 +235,70 @@ class TestNative:
             np.testing.assert_array_equal(
                 native.stack_with_pad(arrs, {0: 8}),
                 stack_with_pad(arrs, pad_to={0: 8}))
+
+
+class TestSizeBucketedSampler:
+    def _sizes(self):
+        rs = np.random.RandomState(0)
+        return rs.randint(4, 30, size=100)
+
+    def test_covers_all_indices_once(self):
+        from tgt_tpu.data.loader import SizeBucketedTrainSampler
+        sizes = self._sizes()
+        s = SizeBucketedTrainSampler(sizes, 8, buckets=(8, 16, 24, 32))
+        got = sorted(i for b in s for i in b)
+        assert got == list(range(100))
+
+    def test_batches_are_size_homogeneous(self):
+        from tgt_tpu.data.loader import SizeBucketedTrainSampler
+        from tgt_tpu.data.collate import pick_bucket
+        sizes = self._sizes()
+        buckets = (8, 16, 24, 32)
+        s = SizeBucketedTrainSampler(sizes, 8, buckets=buckets)
+        for batch in s:
+            bks = {pick_bucket(int(sizes[i]), buckets) for i in batch}
+            assert len(bks) == 1
+
+    def test_padding_reduction(self):
+        """Size-bucketed batching must produce fewer padded pair-entries
+        than random batching on a skewed size distribution."""
+        from tgt_tpu.data.loader import (DistributedTrainSampler,
+                                         SizeBucketedTrainSampler)
+        from tgt_tpu.data.collate import pick_bucket
+        buckets = (8, 16, 24, 32)
+        sizes = self._sizes()
+
+        def padded_pairs(sampler):
+            total = 0
+            for batch in sampler:
+                bucket = pick_bucket(max(int(sizes[i]) for i in batch),
+                                     buckets)
+                total += len(batch) * bucket * bucket
+            return total
+
+        rand = padded_pairs(DistributedTrainSampler(100, 8, shuffle=True))
+        bucketed = padded_pairs(SizeBucketedTrainSampler(sizes, 8, buckets))
+        assert bucketed < rand * 0.8
+
+    def test_rank_partition(self):
+        from tgt_tpu.data.loader import SizeBucketedTrainSampler
+        sizes = self._sizes()
+        seen = []
+        for r in range(4):
+            s = SizeBucketedTrainSampler(sizes, 8, buckets=(16, 32),
+                                         rank=r, world_size=4)
+            seen.extend(i for b in s for i in b)
+        assert sorted(set(seen)) == list(range(100))
+
+    def test_scheme_integration(self, tmp_path):
+        from tgt_tpu.schemes import PretrainScheme
+        over = dict(dataset_source="synthetic", synth_train_samples=16,
+                    synth_val_samples=8, synth_max_nodes=12, batch_size=4,
+                    buckets=[8, 12], model_height=2, node_width=16,
+                    edge_width=8, num_heads=4, triplet_heads=2,
+                    num_dist_bins=8, size_bucketed_batching=True,
+                    save_path_prefix=str(tmp_path))
+        scheme = PretrainScheme(over)
+        loader = scheme.train_loader(0, 0, 1)
+        shapes = {b["node_features"].shape[1] for b in loader}
+        assert shapes <= {8, 12}

@@ -71,6 +71,71 @@ class DistributedTrainSampler:
         return (self.per_rank + self.batch_size - 1) // self.batch_size
 
 
+class SizeBucketedTrainSampler:
+    """Batches molecules of similar size together so each batch collates to
+    the smallest viable bucket — on PCQM-like size distributions (mean ~14
+    atoms, max ~51) this cuts padded pair-entries several-fold vs random
+    batching, directly multiplying N^2/N^3 throughput. Opt-in
+    (``size_bucketed_batching`` in the scheme config): batch composition is
+    size-correlated, a standard production tradeoff the reference doesn't
+    offer.
+
+    Keeps the per-rank contiguous-slice contract of DistributedTrainSampler
+    (cache ranges still work); shuffles within size pools and shuffles the
+    batch order each epoch.
+    """
+
+    def __init__(self, sizes, batch_size: int, buckets, rank: int = 0,
+                 world_size: int = 1, seed: int = 0, drop_last: bool = False):
+        self.sizes = np.asarray(sizes)
+        self.batch_size = batch_size
+        self.buckets = list(buckets)
+        self.rank = rank
+        self.world_size = world_size
+        self.seed = seed
+        self.drop_last = drop_last
+        self.start, self.end = slice_for_rank(len(self.sizes), rank,
+                                              world_size)
+        self.per_rank = (len(self.sizes) + world_size - 1) // world_size
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _bucket_of(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return int(n)
+
+    def __iter__(self) -> Iterator[List[int]]:
+        rs = np.random.RandomState(self.seed + self.epoch)
+        idx = np.arange(self.start, self.end)
+        if len(idx) < self.per_rank and len(idx) > 0:
+            idx = np.concatenate([idx, idx[:self.per_rank - len(idx)]])
+        pools: Dict[int, List[int]] = {}
+        for i in idx:
+            pools.setdefault(self._bucket_of(int(self.sizes[i])),
+                             []).append(int(i))
+        batches = []
+        for bucket in sorted(pools):
+            pool = np.asarray(pools[bucket])
+            rs.shuffle(pool)
+            nb = len(pool) // self.batch_size if self.drop_last else \
+                (len(pool) + self.batch_size - 1) // self.batch_size
+            for k in range(nb):
+                batches.append(pool[k * self.batch_size:
+                                    (k + 1) * self.batch_size].tolist())
+        order = rs.permutation(len(batches))
+        for t in order:
+            yield batches[t]
+
+    def __len__(self) -> int:
+        # upper bound (pool remainders can add up to len(buckets) batches)
+        return (self.per_rank + self.batch_size - 1) // self.batch_size + \
+            len(self.buckets)
+
+
 class DistributedTestSampler:
     """Contiguous per-rank chunk, fixed-size batches (reference: samplers.py:5-13)."""
 

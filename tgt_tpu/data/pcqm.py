@@ -189,6 +189,13 @@ class PCQM4Mv2Dataset:
         num_nodes = self.records["num_nodes"].to_numpy()
         return int(np.argmax(num_nodes)) + self.index_offset
 
+    @property
+    def sizes(self) -> np.ndarray:
+        """Per-position node counts for the loaded shard, indexed like
+        __getitem__ (position - index_offset). Used by size-bucketed
+        batching."""
+        return self.records["num_nodes"].to_numpy()
+
     def get_row(self, row_id: int) -> Dict:
         row: Dict = {}
         n = self.records["num_nodes"][row_id].as_py()

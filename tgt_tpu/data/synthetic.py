@@ -69,6 +69,7 @@ class SyntheticDataset:
         # pre-apply structural transform (cache, like the reference row cache)
         self._cache = [self._transform(dict(r)) for r in self._rows]
         self.max_num_nodes = max(r["num_nodes"] for r in self._rows)
+        self.sizes = np.asarray([r["num_nodes"] for r in self._rows])
 
     def _transform(self, row):
         for t in self.transforms:

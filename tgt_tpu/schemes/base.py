@@ -126,6 +126,9 @@ def default_scheme_config() -> Config:
         # pre-compile every bucket shape before epoch 1 (the TPU analog of
         # the reference's allocate_max_batch, tgt_training.py:118-135)
         precompile_buckets=False,
+        # batch molecules of similar size together (smaller pad buckets ->
+        # several-fold fewer padded pair-entries on real size distributions)
+        size_bucketed_batching=False,
         # eval / predict
         evaluation_samples=10,
         prediction_samples=10,
@@ -253,9 +256,17 @@ class TGTScheme:
 
     def train_loader(self, epoch: int, rank: int, world_size: int):
         ds = self.get_dataset("train")
-        sampler = DistributedTrainSampler(len(ds), self.cfg.batch_size,
-                                          rank=rank, world_size=world_size,
-                                          seed=self.cfg.random_seed or 0)
+        sizes = getattr(ds, "sizes", None)
+        if getattr(self.cfg, "size_bucketed_batching", False) and \
+                sizes is not None and len(sizes) == len(ds):
+            from tgt_tpu.data.loader import SizeBucketedTrainSampler
+            sampler = SizeBucketedTrainSampler(
+                sizes, self.cfg.batch_size, self.cfg.buckets, rank=rank,
+                world_size=world_size, seed=self.cfg.random_seed or 0)
+        else:
+            sampler = DistributedTrainSampler(len(ds), self.cfg.batch_size,
+                                              rank=rank, world_size=world_size,
+                                              seed=self.cfg.random_seed or 0)
         sampler.set_epoch(epoch)
         return DataLoader(ds, sampler,
                           collate_fn=lambda rows: padded_collate(
