@@ -15,6 +15,10 @@ from tgt_tpu.schemes import (DistPredScheme, FinetuneScheme, GapPredScheme,
 from tgt_tpu.training import Trainer
 from tgt_tpu.training.checkpoint import load_pytree, save_pytree
 
+from tgt_tpu.models import TGTConfig
+TINY_CFG = TGTConfig(node_width=16, edge_width=8, num_heads=4, model_height=2,
+                     triplet_heads=2, num_dist_bins=8)
+
 TINY = dict(
     dataset_source="synthetic",
     synth_train_samples=16,
@@ -184,3 +188,67 @@ class TestHarness:
         p_after = jax.tree.leaves(state2["params"])[0]
         np.testing.assert_array_equal(np.asarray(p_before),
                                       np.asarray(p_after))
+
+
+class TestReproducibility:
+    def test_same_seed_same_losses(self, tmp_path):
+        h1 = make_trainer(PretrainScheme, tmp_path, "r1")[1].fit(
+            num_epochs=1)["history"]
+        h2 = make_trainer(PretrainScheme, tmp_path, "r2")[1].fit(
+            num_epochs=1)["history"]
+        assert h1[0]["loss"] == h2[0]["loss"]
+        assert h1[0]["val_loss"] == h2[0]["val_loss"]
+
+
+class TestPlateauController:
+    def test_reduces_and_stops(self):
+        from tgt_tpu.training.schedules import PlateauController
+        pc = PlateauController(factor=0.5, patience=1, stopping_lr=1e-4)
+        assert not pc.update(1.0, 1e-3)   # best
+        assert not pc.update(1.1, 1e-3)   # bad 1
+        assert not pc.update(1.2, 1e-3)   # bad 2 -> reduce
+        assert pc.scale == 0.5
+        pc.update(1.3, 1e-3)
+        stopped = pc.update(1.4, 1e-3)    # scale 0.25 -> 2.5e-4 > 1e-4
+        for _ in range(6):
+            stopped = pc.update(2.0, 1e-3)
+        assert stopped                     # lr*scale fell below stopping_lr
+
+    def test_state_roundtrip(self):
+        from tgt_tpu.training.schedules import PlateauController
+        pc = PlateauController()
+        pc.update(1.0, 1e-3)
+        pc2 = PlateauController()
+        pc2.load_state_dict(pc.state_dict())
+        assert pc2.best == 1.0
+
+
+class TestProgress:
+    def test_progress_line_printer(self, capsys):
+        from tgt_tpu.training.progress import Progress
+        items = list(Progress(range(10), desc="t", miniters=5))
+        assert items == list(range(10))
+        out = capsys.readouterr().out
+        assert "t: " in out and "it/s" in out
+
+
+class TestProfilingUtils:
+    def test_model_summary(self, tmp_path):
+        import jax
+        from tgt_tpu.models import make_model
+        from tgt_tpu.utils.profiling import count_params, model_summary
+        init, _ = make_model("gap")
+        params = init(jax.random.PRNGKey(0), TINY_CFG)
+        text = model_summary(params, str(tmp_path / "summary.txt"))
+        assert "TOTAL" in text
+        assert (tmp_path / "summary.txt").exists()
+        assert count_params(params) > 0
+
+    def test_step_timer(self):
+        from tgt_tpu.utils.profiling import StepTimer
+        t = StepTimer(warmup=1)
+        for _ in range(4):
+            with t:
+                pass
+        s = t.summary()
+        assert s["steps"] == 3

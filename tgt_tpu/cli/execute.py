@@ -124,12 +124,15 @@ def execute_predict(scheme, trainer) -> Dict:
 
 
 def execute_evaluate(scheme, trainer) -> Dict:
+    from tgt_tpu.parallel.mesh import gather_predictions
     params = _load_eval_params(scheme, trainer)
     results = {}
     for split in scheme.cfg.predict_on:
         loader = scheme.test_loader(split, trainer.rank, trainer.world_size)
         preds = trainer.eval_epoch(params, loader)
-        results[split] = preds
+        # cross-host gather so metrics cover the full split
+        # (reference training.py:746-774)
+        results[split] = gather_predictions(preds, trainer.world_size)
     return _write_results(scheme, trainer, results)
 
 

@@ -70,6 +70,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def gather_predictions(preds: Dict[str, np.ndarray],
+                       world_size: int) -> Dict[str, np.ndarray]:
+    """Concatenate per-process prediction shards across hosts.
+
+    The reference gathers with shape-all_reduce + zero-pad + sum-all_reduce
+    over NCCL (training.py:746-774); here multihost process_allgather does the
+    same in one call. Single-process: identity.
+    """
+    if world_size <= 1:
+        return preds
+    from jax.experimental import multihost_utils
+    out = {}
+    for k, v in preds.items():
+        gathered = multihost_utils.process_allgather(v, tiled=False)
+        # (num_processes, per_rank, ...) -> concatenated
+        out[k] = np.concatenate(list(np.asarray(gathered)), axis=0)
+    return out
+
+
 def initialize_distributed(coordinator: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> Tuple[int, int]:

@@ -129,6 +129,9 @@ def default_scheme_config() -> Config:
         # batch molecules of similar size together (smaller pad buckets ->
         # several-fold fewer padded pair-entries on real size distributions)
         size_bucketed_batching=False,
+        # dev mode: raise on the first NaN inside jitted code (the jit-era
+        # analog of the reference's runtime NaN checks, SURVEY.md §5.2)
+        debug_nans=False,
         # eval / predict
         evaluation_samples=10,
         prediction_samples=10,
@@ -169,6 +172,9 @@ class TGTScheme:
         if getattr(self.cfg, "mixed_precision", False) and \
                 self.cfg.compute_dtype == "float32":
             self.cfg.compute_dtype = "bfloat16"
+        if getattr(self.cfg, "debug_nans", False):
+            import jax
+            jax.config.update("jax_debug_nans", True)
         self.command = command
         self.model_cfg = self.build_model_cfg()
         self.init_fn, self.apply_fn = make_model(self.MODEL)
