@@ -187,16 +187,28 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """put that gives up when the consumer stopped (no thread leak
+            on early consumer exit)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.25)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for bi in batches:
                     if stop.is_set():
                         return
-                    q.put(self._make_batch(bi))
+                    if not put(self._make_batch(bi)):
+                        return
             except Exception as exc:  # surface worker errors to the consumer
-                q.put(exc)
+                put(exc)
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -170,6 +170,9 @@ def _pair_transpose(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     """
     p = jax.lax.axis_size(axis_name)
     b, i_loc, n = x.shape[:3]
+    if n % p != 0:
+        raise ValueError(f"pair-sharded node axis {n} must divide the ring "
+                         f"size {p} (pad N to a multiple of the pair axis)")
     blk = n // p
     # split the full axis into p blocks: (b, i_loc, p, blk, ...)
     xs = x.reshape(x.shape[0], i_loc, p, blk, *x.shape[3:])

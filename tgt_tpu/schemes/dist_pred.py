@@ -169,6 +169,7 @@ class DistPredScheme(TGTScheme):
         for split in self.cfg.predict_on:
             loader = self.test_loader(split, rank, world_size)
             all_idx, all_bins = [], []
+            offset = 0
             for i, batch in enumerate(loader):
                 db = self.device_batch(batch, training=False)
                 rng = jax.random.fold_in(jax.random.PRNGKey(1234 + rank), i)
@@ -177,7 +178,10 @@ class DistPredScheme(TGTScheme):
                 for bi, n in enumerate(num_nodes):
                     packed = pack_bins_multi(bins[bi, :, :n, :n]).reshape(-1)
                     all_bins.append(packed)
-                idx = batch.get("idx", np.arange(len(num_nodes)) )
+                # datasets built with return_idx carry global ids; the
+                # synthetic fallback uses running per-rank positions
+                idx = batch.get("idx", offset + np.arange(len(num_nodes)))
+                offset += len(num_nodes)
                 all_idx.append(np.asarray(idx))
             table = pa.Table.from_pydict({
                 "idx": np.concatenate(all_idx),
