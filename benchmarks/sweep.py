@@ -12,7 +12,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def measure(b, n, triplet, reps=5, layers=24, triplet_type="attention", use_pallas=False):
+def measure(b, n, triplet, reps=5, layers=24, triplet_type="attention", use_pallas=False, remat=True):
     import jax
     import jax.numpy as jnp
     from tgt_tpu.models import TGTConfig, make_model
@@ -22,7 +22,7 @@ def measure(b, n, triplet, reps=5, layers=24, triplet_type="attention", use_pall
                     triplet_heads=16 if triplet else 0,
                     triplet_type=triplet_type, num_dist_bins=256,
                     use_pallas=use_pallas,
-                    compute_dtype="bfloat16", use_scan=True, remat=True,
+                    compute_dtype="bfloat16", use_scan=True, remat=remat,
                     node_ended=False, edge_ended=True)
     init, apply = make_model("distance")
     params = init(jax.random.PRNGKey(0), cfg)
@@ -63,7 +63,7 @@ def measure(b, n, triplet, reps=5, layers=24, triplet_type="attention", use_pall
         jax.tree.leaves(g)[0].block_until_ready()
     dt = (time.time() - t0) / reps
     return {"b": b, "n": n, "triplet": triplet, "type": triplet_type,
-            "pallas": use_pallas,
+            "pallas": use_pallas, "remat": remat,
             "layers": layers, "step_ms": round(dt * 1000, 1),
             "graphs_per_s": round(b / dt, 1), "compile_s": round(compile_s)}
 
@@ -76,10 +76,12 @@ if __name__ == "__main__":
     ap.add_argument("--type", default="attention")
     ap.add_argument("--layers", type=int, default=24)
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--out", default="/tmp/sweep_results.jsonl")
     args = ap.parse_args()
     r = measure(args.b, args.n, not args.no_triplet, layers=args.layers,
-                triplet_type=args.type, use_pallas=args.pallas)
+                triplet_type=args.type, use_pallas=args.pallas,
+                remat=not args.no_remat)
     print(json.dumps(r))
     with open(args.out, "a") as f:
         f.write(json.dumps(r) + "\n")

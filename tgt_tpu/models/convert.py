@@ -140,3 +140,51 @@ def convert_torch_state_dict(state: Mapping[str, Array],
         else:
             raise ValueError(f"unrecognized top-level params entry: {top}")
     return jax.tree_util.tree_map(jnp.asarray, out)
+
+
+def main():  # pragma: no cover - thin CLI
+    """Convert a released reference checkpoint to tgt_tpu format.
+
+    Usage:
+      python -m tgt_tpu.models.convert <model_state.pt> <out.npz> \
+          --config <config.yaml> [--model distance|gap|multi]
+
+    e.g. after `huggingface-cli download shamim-hussain/tgt` (reference
+    README.md:68-70), convert models/pcqm/tgt_at_200m/.../model_state.pt and
+    point `pretrained_weights_file` at the .npz.
+    """
+    import argparse
+
+    import jax
+
+    from tgt_tpu.core.config import load_yaml
+    from tgt_tpu.models.heads import make_model
+    from tgt_tpu.schemes import get_scheme
+    from tgt_tpu.training.checkpoint import save_pytree
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("torch_checkpoint")
+    ap.add_argument("out_npz")
+    ap.add_argument("--config", required=True,
+                    help="scheme config yaml (determines model shape)")
+    ap.add_argument("--model", default=None,
+                    help="override model kind (distance|gap|multi)")
+    args = ap.parse_args()
+
+    import torch
+    state = torch.load(args.torch_checkpoint, map_location="cpu")
+    state = {k: v.numpy() for k, v in state.items()}
+
+    cfg_dict = load_yaml(args.config)
+    scheme = get_scheme(cfg_dict["scheme"])(cfg_dict)
+    model_kind = args.model or scheme.MODEL
+    init, _ = make_model(model_kind)
+    template = init(jax.random.PRNGKey(0), scheme.model_cfg)
+    params = convert_torch_state_dict(state, template, scheme.model_cfg)
+    save_pytree(params, args.out_npz)
+    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"converted {n/1e6:.1f}M params -> {args.out_npz}")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
