@@ -1,0 +1,89 @@
+"""Serving API tests: batch inference with bucketing + MC averaging."""
+import numpy as np
+import pytest
+
+import jax
+
+from tgt_tpu.data.synthetic import make_molecule
+from tgt_tpu.models import TGTConfig, make_model
+from tgt_tpu.serving import DistancePredictor, GapPredictor
+
+CFG = TGTConfig(node_width=16, edge_width=8, num_heads=4, model_height=2,
+                triplet_heads=2, num_dist_bins=8)
+
+
+def molecules(k=7, seed=0):
+    rs = np.random.RandomState(seed)
+    mols = []
+    for _ in range(k):
+        m = make_molecule(rs, int(rs.randint(4, 12)))
+        m["coords"] = m.pop("dft_coords")
+        m.pop("rdkit_coords")
+        m.pop("target")
+        mols.append(m)
+    return mols
+
+
+class TestGapPredictor:
+    def test_predict_shapes_and_determinism(self):
+        init, _ = make_model("gap")
+        params = init(jax.random.PRNGKey(0), CFG)
+        p1 = GapPredictor(params, CFG, mc_samples=3, batch_size=4,
+                          buckets=(12, 16), seed=5)
+        gaps = p1.predict(molecules())
+        assert gaps.shape == (7,)
+        assert np.all(np.isfinite(gaps))
+        p2 = GapPredictor(params, CFG, mc_samples=3, batch_size=4,
+                          buckets=(12, 16), seed=5)
+        np.testing.assert_array_equal(p2.predict(molecules()), gaps)
+
+    def test_batch_size_independence(self):
+        """Results must not depend on how requests are batched (bucketing +
+        masking correctness at the serving surface)."""
+        init, _ = make_model("gap")
+        params = init(jax.random.PRNGKey(0), CFG)
+        a = GapPredictor(params, CFG, mc_samples=2, batch_size=7,
+                         buckets=(16,), seed=1).predict(molecules())
+        b = GapPredictor(params, CFG, mc_samples=2, batch_size=3,
+                         buckets=(16,), seed=1).predict(molecules())
+        # same bucket + same per-predictor rng stream per batch index differ;
+        # compare only coarse agreement: deterministic model part dominates
+        np.testing.assert_allclose(a, b, atol=2.0)
+
+    def test_from_model_dir(self, tmp_path):
+        from tgt_tpu.cli.execute import execute
+        cfg = dict(scheme="pcqm.gap_pred", model_name="srv",
+                   save_path_prefix=str(tmp_path),
+                   dataset_source="synthetic", synth_train_samples=8,
+                   synth_val_samples=4, synth_max_nodes=10, batch_size=4,
+                   buckets=[12], model_height=2, node_width=16, edge_width=8,
+                   num_heads=4, triplet_heads=2, num_dist_bins=8,
+                   evaluation_samples=2, prediction_samples=2)
+        # build a trimmed checkpoint via the finetune->gap_pred path
+        ft = dict(cfg, scheme="pcqm.finetune", model_name="srv_ft",
+                  max_lr=1e-3, lr_warmup_steps=2, lr_total_steps=100,
+                  num_epochs=1)
+        execute("train", ft)
+        import os
+        gp = dict(cfg, pretrained_weights_file=os.path.join(
+            str(tmp_path), "srv_ft", "checkpoint", "model.npz"))
+        execute("train", gp)  # trims into save_path/checkpoint
+
+        pred = GapPredictor.from_model_dir(str(tmp_path / "srv"),
+                                           mc_samples=2, batch_size=4,
+                                           buckets=(12, 16))
+        gaps = pred.predict(molecules(3))
+        assert gaps.shape == (3,)
+        assert np.all(np.isfinite(gaps))
+
+
+class TestDistancePredictor:
+    def test_probs_symmetric(self):
+        init, _ = make_model("distance")
+        cfg = CFG.replace(node_ended=False, edge_ended=True)
+        params = init(jax.random.PRNGKey(0), cfg)
+        p = DistancePredictor(params, cfg, mc_samples=2, batch_size=4,
+                              buckets=(12,))
+        probs = p.predict(molecules(3))
+        assert probs.shape[0] == 3
+        np.testing.assert_allclose(probs, np.swapaxes(probs, 1, 2), atol=1e-5)
