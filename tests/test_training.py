@@ -252,3 +252,22 @@ class TestProfilingUtils:
                 pass
         s = t.summary()
         assert s["steps"] == 3
+
+
+class TestConditionStrings:
+    def test_eval_condition(self):
+        from tgt_tpu.training.harness import eval_condition
+        assert eval_condition(None, {})
+        assert eval_condition("epoch > 2", {"epoch": 3})
+        assert not eval_condition("epoch > 2 and loss < 1", {"epoch": 3,
+                                                             "loss": 2.0})
+        with pytest.raises(Exception):
+            eval_condition("__import__('os')", {})
+
+    def test_validation_condition_skips_eval(self, tmp_path):
+        scheme, trainer = make_trainer(PretrainScheme, tmp_path, "vc",
+                                       validation_condition="epoch >= 1")
+        result = trainer.fit(num_epochs=2)
+        h = result["history"]
+        assert "val_loss" not in h[0]   # epoch 0 skipped by condition
+        assert "val_loss" in h[1]

@@ -81,6 +81,8 @@ def default_scheme_config() -> Config:
         num_epochs=1000,
         batch_size=32,
         validation_frequency=1,
+        validation_condition=None,
+        save_model_condition=None,
         # model
         model_height=4,
         node_width=64,

@@ -35,6 +35,19 @@ class StopTraining(Exception):
     pass
 
 
+def eval_condition(expr: Optional[str], context: Dict[str, Any]) -> bool:
+    """Evaluate a config condition string like
+    ``"epoch > 10 and epoch % 5 == 0"`` against log values.
+
+    The reference eval()s these with full builtins (training.py:648-649,
+    training_mixins.py:67,102); here the namespace is restricted to the
+    context values — same capability, no arbitrary code execution.
+    """
+    if not expr:
+        return True
+    return bool(eval(expr, {"__builtins__": {}}, dict(context)))
+
+
 def make_optimizer(cfg, schedule) -> Tuple[Callable, Callable]:
     """Adam with optional grad clipping; returns (init_fn, update_fn).
 
@@ -342,7 +355,10 @@ class Trainer:
             logs = {"epoch": self.epoch, "global_step": self.global_step,
                     "train_time": train_time, **train_logs}
 
-            if (self.epoch + 1) % val_every == 0:
+            should_validate = (self.epoch + 1) % val_every == 0 and \
+                eval_condition(getattr(cfg, "validation_condition", None),
+                               logs)
+            if should_validate:
                 t0 = time.time()
                 val_loader = self.scheme.val_loader(self.rank, self.world_size)
                 preds = self.eval_epoch(state["params"], val_loader,
@@ -391,7 +407,11 @@ class Trainer:
                           f"{self.monitor_best:0.5f} -> {v:0.5f}", flush=True)
                 self.monitor_best = v
                 self.monitor_best_epoch = logs["epoch"]
-                if self.is_main:
+                # conditional best-model saving (reference SaveModel mixin's
+                # eval'd save_model_condition, training_mixins.py:60-103)
+                if self.is_main and eval_condition(
+                        getattr(self.cfg, "save_model_condition", None),
+                        logs):
                     self.ckpt.save_best(state["params"])
             logs[f"best_{monitor}"] = self.monitor_best
 
