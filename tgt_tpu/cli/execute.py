@@ -179,3 +179,15 @@ def _load_eval_params(scheme, trainer):
 def main(command: str) -> None:
     config = configs_from_args(sys.argv[1:])
     execute(command, config)
+
+
+def _train_main() -> None:  # console_scripts entry points
+    main("train")
+
+
+def _predict_main() -> None:
+    main("predict")
+
+
+def _evaluate_main() -> None:
+    main("evaluate")
