@@ -271,3 +271,15 @@ class TestConditionStrings:
         h = result["history"]
         assert "val_loss" not in h[0]   # epoch 0 skipped by condition
         assert "val_loss" in h[1]
+
+
+class TestPrecompile:
+    def test_precompile_buckets(self, tmp_path):
+        scheme, trainer = make_trainer(PretrainScheme, tmp_path, "pc",
+                                       buckets=[12, 16],
+                                       precompile_buckets=True)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        trainer.precompile(state)   # must not raise; compiles both buckets
+        # training afterwards reuses the compiled shapes
+        result = trainer.fit(num_epochs=1)
+        assert np.isfinite(result["history"][-1]["loss"])
