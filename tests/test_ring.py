@@ -90,3 +90,61 @@ class TestRingTriplet:
         g_ref = jax.jit(jax.grad(loss_ref))(e)
         np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_ref),
                                    rtol=5e-4, atol=5e-4)
+
+
+class TestPairShardedLayer:
+    """Full layer / encoder stack under edge-block sharding vs the unsharded
+    oracle (deterministic path)."""
+
+    def _setup(self, height=2):
+        from tgt_tpu.models import TGTConfig
+        from tgt_tpu.models.encoder import encoder_init
+        cfg = TGTConfig(node_width=16, edge_width=16, num_heads=4,
+                        model_height=height, triplet_heads=2,
+                        triplet_type="attention", node_ended=True,
+                        edge_ended=True)
+        params = encoder_init(jax.random.PRNGKey(0), cfg)
+        b, n = 2, 8
+        h = jax.random.normal(jax.random.PRNGKey(1), (b, n, 16))
+        e = jax.random.normal(jax.random.PRNGKey(2), (b, n, n, 16))
+        node_mask = np.ones((b, n), np.float32)
+        node_mask[1, 6:] = 0
+        mask = additive_mask_from_node_mask(jnp.asarray(node_mask))
+        return cfg, params, h, e, mask, jnp.asarray(node_mask)
+
+    def test_encoder_matches_unsharded(self, mesh):
+        from tgt_tpu.core.graph import Graph
+        from tgt_tpu.models.encoder import encoder_apply
+        from tgt_tpu.parallel.pair_layer import encoder_pair_sharded
+        cfg, params, h, e, mask, node_mask = self._setup()
+
+        g = encoder_apply(params, Graph(h=h, e=e, mask=mask,
+                                        node_mask=node_mask), cfg)
+
+        fn = functools.partial(encoder_pair_sharded, cfg=cfg)
+        h2, e2 = jax.jit(jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(), P(), P(None, PAIR_AXIS), P(None, PAIR_AXIS)),
+            out_specs=(P(), P(None, PAIR_AXIS)),
+            check_vma=False))(params, h, e, mask)
+        np.testing.assert_allclose(np.asarray(h2), np.asarray(g.h),
+                                   rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(e2), np.asarray(g.e),
+                                   rtol=5e-4, atol=5e-4)
+
+    def test_layer_multiplier_matches(self, mesh):
+        from tgt_tpu.core.graph import Graph
+        from tgt_tpu.models.encoder import encoder_apply
+        from tgt_tpu.parallel.pair_layer import encoder_pair_sharded
+        cfg, params, h, e, mask, node_mask = self._setup(height=2)
+        cfg = cfg.replace(layer_multiplier=2)
+        g = encoder_apply(params, Graph(h=h, e=e, mask=mask,
+                                        node_mask=node_mask), cfg)
+        fn = functools.partial(encoder_pair_sharded, cfg=cfg)
+        h2, e2 = jax.jit(jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(), P(), P(None, PAIR_AXIS), P(None, PAIR_AXIS)),
+            out_specs=(P(), P(None, PAIR_AXIS)),
+            check_vma=False))(params, h, e, mask)
+        np.testing.assert_allclose(np.asarray(e2), np.asarray(g.e),
+                                   rtol=1e-3, atol=1e-3)
