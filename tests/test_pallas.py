@@ -100,3 +100,20 @@ class TestTripletAttentionKernel:
                                 attention_dropout=0.5, deterministic=False,
                                 rng=jax.random.PRNGKey(0))
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestModelIntegration:
+    def test_full_model_with_pallas_matches_jnp(self, inputs):
+        """use_pallas=True through the encoder flag (interpret mode)."""
+        from tests.conftest import make_synthetic_batch
+        from tgt_tpu.models import TGTConfig, make_model
+        cfg = TGTConfig(node_width=16, edge_width=16, num_heads=4,
+                        model_height=2, triplet_heads=2,
+                        triplet_type="attention", num_dist_bins=8)
+        init, apply = make_model("gap")
+        params = init(jax.random.PRNGKey(0), cfg)
+        batch = make_synthetic_batch(jax.random.PRNGKey(0), b=2, n=8, seed=4)
+        ref = apply(params, batch, cfg)
+        fused = apply(params, batch, cfg.replace(use_pallas=True))
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   rtol=5e-3, atol=5e-3)
