@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import io
 from types import SimpleNamespace
-from typing import Any, Callable, Dict, Iterable, Mapping, Optional
+from typing import Any, Callable, Dict, Iterable, Mapping
 
 import yaml
 

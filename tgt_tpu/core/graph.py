@@ -12,7 +12,7 @@ by ``node_mask`` (b, N) and derived pair masks rather than by dynamic shapes.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

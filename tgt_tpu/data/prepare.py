@@ -178,8 +178,7 @@ def prepare_rdkit_coords(dataset_dir: str, num_confs: int = 40,
     """ETKDG conformer generation for every record
     (reference prepare_rdkit_coords.py:121-263). Requires rdkit."""
     try:
-        from rdkit import Chem
-        from rdkit.Chem import AllChem
+        import rdkit  # noqa: F401 — presence check
     except ImportError as e:
         raise ImportError("prepare_rdkit_coords requires rdkit") from e
     raise NotImplementedError(

@@ -15,7 +15,7 @@ pod-scale input pipelines; `use_native=True` uses it when built.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

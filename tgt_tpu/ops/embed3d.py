@@ -18,8 +18,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from tgt_tpu.ops.common import (Params, embedding, embedding_init, linear,
-                                linear_init)
+from tgt_tpu.ops.common import Params, embedding, linear, linear_init
 
 _REF_PI = 3.14159  # the reference's literal (layers.py:132); not math.pi
 

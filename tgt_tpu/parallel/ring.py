@@ -26,9 +26,6 @@ virtual CPU mesh.
 """
 from __future__ import annotations
 
-import functools
-from typing import Callable, Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tgt_tpu.core.config import Config, Lazy, REQUIRED
+from tgt_tpu.core.config import Config, Lazy
 from tgt_tpu.data.collate import pad_batch_dim, padded_collate
 from tgt_tpu.data.loader import (DataLoader, DistributedTestSampler,
                                  DistributedTrainSampler)

@@ -12,7 +12,6 @@ Semantics match the reference (lib/training_schemes/pcqm/dist_pred/scheme.py):
 """
 from __future__ import annotations
 
-import functools
 import json
 import os
 from typing import Dict, List
@@ -23,7 +22,6 @@ import numpy as np
 
 from tgt_tpu.core.config import Config, Lazy
 from tgt_tpu.data.bins import bins_dtype, pack_bins_multi
-from tgt_tpu.data.synthetic import SyntheticDataset
 from tgt_tpu.schemes.base import TGTScheme, default_scheme_config
 from tgt_tpu.schemes.commons import (add_coords_noise, coords2dist,
                                      discrete_dist_loss)

@@ -15,8 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from tgt_tpu.core.config import Config
-from tgt_tpu.schemes.base import TGTScheme, default_scheme_config
-from tgt_tpu.schemes.commons import bins2dist
 from tgt_tpu.schemes.finetune import FinetuneScheme
 
 

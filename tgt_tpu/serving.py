@@ -16,7 +16,6 @@ Molecule dict schema (same as the dataset rows before structural transform):
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Sequence
 
 import jax

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,6 @@ import numpy as np
 import yaml
 
 from tgt_tpu.training.checkpoint import CheckpointManager, load_pretrained
-from tgt_tpu.training.schedules import warmup_cosine
 
 
 class StopTraining(Exception):

@@ -14,8 +14,6 @@ optax schedules).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax.numpy as jnp
 
 
