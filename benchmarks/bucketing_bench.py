@@ -68,12 +68,27 @@ def main():
                 coords[:, :, None] - coords[:, None, :], axis=-1)),
         }
 
+    from types import SimpleNamespace
+    from tgt_tpu.training.harness import make_optimizer
+    opt_init, opt_update = make_optimizer(
+        SimpleNamespace(clip_grad_value=None, clip_grad_norm=None), None)
+    opt_state0 = jax.jit(opt_init)(params)
+
     def loss_of(p, batch):
         logits = apply(p, batch, cfg)
         return discrete_dist_loss(logits, batch["dist_input"],
                                   batch["edge_mask"], cfg.num_dist_bins, 8.0)
 
-    grad_fn = jax.jit(jax.grad(loss_of))
+    def train_step(p, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_of)(p, batch)
+        updates, new_opt = opt_update(grads, opt_state, p, jnp.asarray(1e-4))
+        new_p = jax.tree.map(lambda a, u: a + u, p, updates)
+        return new_p, new_opt, loss
+
+    # NOTE: steps CHAIN through the params/opt_state carry — on this
+    # remote-execution stack only dependency-chained work measures honestly
+    # (independent dispatches may never execute; see CLAUDE.md)
+    step_fn = jax.jit(train_step)
 
     sizes = pcqm_like_sizes(4096)
 
@@ -87,20 +102,23 @@ def main():
         SizeBucketedTrainSampler(sizes, args.batch, buckets))
 
     def run(seq, tag):
-        # compile each distinct bucket once, then time the sequence
+        # compile + warm each distinct bucket (incl. first-fetch path)
         distinct = sorted(set(seq))
+        p, opt = params, opt_state0
         for bk in distinct:
-            g = grad_fn(params, make_batch(bk, 0))
-            jax.tree.leaves(g)[0].block_until_ready()
+            p, opt, loss = step_fn(p, opt, make_batch(bk, 0))
+            float(loss)
         steps = seq[:args.steps]
         batches = [make_batch(bk, i + 1) for i, bk in enumerate(steps)]
+        p, opt = params, opt_state0
         t0 = time.time()
         for batch in batches:
-            g = grad_fn(params, batch)
-        jax.tree.leaves(g)[0].block_until_ready()
+            p, opt, loss = step_fn(p, opt, batch)
+        final = float(loss)  # chained carry forces every step to execute
         dt = time.time() - t0
         gps = args.batch * len(steps) / dt
         print(json.dumps({"mode": tag, "graphs_per_s": round(gps, 1),
+                          "final_loss": round(final, 4),
                           "mean_bucket": round(float(np.mean(steps)), 1),
                           "distinct_buckets": distinct}))
         return gps
