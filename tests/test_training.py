@@ -283,3 +283,36 @@ class TestPrecompile:
         # training afterwards reuses the compiled shapes
         result = trainer.fit(num_epochs=1)
         assert np.isfinite(result["history"][-1]["loss"])
+
+
+class TestMCSampling:
+    def test_nan_draws_are_skipped(self):
+        """mc_sample must average only finite draws (the jit analog of the
+        reference's NaN-resample loop, dist_pred/scheme.py:139-167)."""
+        import jax.numpy as jnp
+        from tgt_tpu.schemes import PretrainScheme
+        scheme = PretrainScheme(dict(dataset_source="synthetic"))
+
+        def fn(key):
+            # poison ~half the draws with NaN based on the key
+            bad = jax.random.bernoulli(key, 0.5)
+            return jnp.where(bad, jnp.nan, 2.0) * jnp.ones((3,))
+
+        acc, valid = jax.jit(
+            lambda r: scheme.mc_sample(fn, r, 8))(jax.random.PRNGKey(0))
+        v = int(valid)
+        assert 0 < v < 8                      # some draws rejected
+        np.testing.assert_allclose(np.asarray(acc), 2.0 * v, rtol=1e-6)
+
+    def test_all_nan_keeps_zero_count(self):
+        import jax.numpy as jnp
+        from tgt_tpu.schemes import PretrainScheme
+        scheme = PretrainScheme(dict(dataset_source="synthetic"))
+
+        def fn(key):
+            return jnp.full((3,), jnp.nan)
+
+        acc, valid = jax.jit(
+            lambda r: scheme.mc_sample(fn, r, 4))(jax.random.PRNGKey(0))
+        assert int(valid) == 0                # host detects total failure
+        np.testing.assert_array_equal(np.asarray(acc), np.zeros(3))
