@@ -316,3 +316,16 @@ class TestMCSampling:
             lambda r: scheme.mc_sample(fn, r, 4))(jax.random.PRNGKey(0))
         assert int(valid) == 0                # host detects total failure
         np.testing.assert_array_equal(np.asarray(acc), np.zeros(3))
+
+
+class TestBF16Training:
+    def test_mixed_precision_trains(self, tmp_path):
+        """mixed_precision: true (reference AMP analog) -> bf16 compute;
+        loss must stay finite and decrease."""
+        scheme, trainer = make_trainer(PretrainScheme, tmp_path, "bf16",
+                                       mixed_precision=True)
+        assert scheme.cfg.compute_dtype == "bfloat16"
+        result = trainer.fit(num_epochs=2)
+        losses = [h["loss"] for h in result["history"]]
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]
