@@ -87,3 +87,24 @@ class TestCommands:
             scheme_cls = get_scheme(cfg["scheme"])
             s = scheme_cls(cfg)  # raises on unknown keys
             assert s.model_cfg.node_width == 768
+
+
+class TestTestSplitSubmission:
+    def test_gap_pred_test_split_writes_submission(self, tmp_path):
+        """predict_on: ['test'] produces the test-dev submission artifact
+        (raw .npy here since ogb is unavailable)."""
+        cfg = dict(
+            scheme="pcqm.gap_pred", model_name="sub",
+            save_path_prefix=str(tmp_path),
+            dataset_source="synthetic", synth_train_samples=8,
+            synth_val_samples=4, synth_max_nodes=8, batch_size=4,
+            buckets=[8], model_height=2, node_width=16, edge_width=8,
+            num_heads=4, triplet_heads=2, num_dist_bins=8,
+            evaluation_samples=2, prediction_samples=2,
+            predict_on=["test"],
+        )
+        metrics = execute("evaluate", cfg)
+        assert "test" in metrics
+        sub = tmp_path / "sub" / "predictions" / "y_pred_test_dev.npy"
+        assert sub.exists()
+        assert np.load(sub).shape == (4,)  # synth test split size

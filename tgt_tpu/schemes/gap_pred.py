@@ -74,14 +74,20 @@ class GapPredScheme(FinetuneScheme):
         gap_pred = preds["gap_pred"]
         target = preds["gap_target"]
         if dataset_name == "test":
+            # OGB test-dev submission (reference gap_pred/scheme.py:121-130);
+            # raw .npy fallback when ogb is unavailable
+            import os
+            out_dir = predictions_path or "."
+            os.makedirs(out_dir, exist_ok=True)
             try:
                 from ogb.lsc.pcqm4mv2 import PCQM4Mv2Evaluator
             except ImportError:
-                np.save(predictions_path or "y_pred_test_dev.npy", gap_pred)
+                np.save(os.path.join(out_dir, "y_pred_test_dev.npy"),
+                        gap_pred)
                 return {"loss": float("nan")}
             PCQM4Mv2Evaluator().save_test_submission(
                 input_dict={"y_pred": gap_pred},
-                dir_path=predictions_path, mode="test-dev")
+                dir_path=out_dir, mode="test-dev")
             return {"loss": float("nan")}
         return {"loss": float(np.mean(np.abs(gap_pred - target)))}
 
