@@ -303,6 +303,11 @@ class Trainer:
             rng = jax.random.fold_in(jax.random.PRNGKey(seed + 1000), i)
             out = self._eval_step(params, device_batch, rng)
             out = {k: np.asarray(v) for k, v in out.items()}
+            if "valid_samples" in out and np.all(out["valid_samples"] == 0):
+                # all MC draws were non-finite (reference raises
+                # 'All predictions were NaN', dist_pred/scheme.py:158-159)
+                print(f"WARNING: all MC draws non-finite in eval batch {i}",
+                      flush=True)
             out = self.scheme.postprocess_eval(out, batch)
             for k, v in out.items():
                 collected.setdefault(k, []).append(v)
