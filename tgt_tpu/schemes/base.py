@@ -121,6 +121,9 @@ def default_scheme_config() -> Config:
         clip_grad_norm=None,
         weight_decay=0.0,
         max_recovery_tries=10,
+        # micro-batch gradient accumulation inside the jitted step (the
+        # reference has none); batch_size must divide evenly
+        grad_accum_steps=1,
         # ReduceLR-on-plateau (off unless rlr_factor set)
         rlr_factor=None,
         rlr_patience=10,

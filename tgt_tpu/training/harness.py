@@ -175,13 +175,54 @@ class Trainer:
         scheme = self.scheme
         opt_update = self.opt_update
         schedule = self.schedule
+        accum = int(getattr(self.cfg, "grad_accum_steps", 1) or 1)
+
+        def grad_of(params, batch, rng):
+            return jax.value_and_grad(
+                lambda p: scheme.loss_fn(p, batch, rng),
+                has_aux=True)(params)
+
+        def accumulated_grad(params, batch, rng):
+            """Micro-batch gradient accumulation inside the jitted step
+            (the reference has none — 1 step per batch, SURVEY.md §2; this
+            lets few chips match the published global batch sizes). The
+            batch's leading axis splits into `accum` micro-batches scanned
+            sequentially; grads average."""
+            if accum <= 1:
+                return grad_of(params, batch, rng)
+
+            def split(x):
+                b = x.shape[0]
+                return x.reshape(accum, b // accum, *x.shape[1:])
+
+            micro = {k: split(v) for k, v in batch.items()}
+            rngs = jax.random.split(rng, accum)
+
+            def body(carry, xs):
+                loss_sum, aux_sum, grad_sum = carry
+                mb, r = xs
+                (loss, aux), grads = grad_of(params, mb, r)
+                carry = (loss_sum + loss,
+                         jax.tree.map(lambda a, x: a + x, aux_sum, aux),
+                         jax.tree.map(lambda a, g: a + g, grad_sum, grads))
+                return carry, None
+
+            zero_shapes = jax.eval_shape(grad_of, params,
+                                         jax.tree.map(lambda x: x[0], micro),
+                                         rngs[0])
+            (loss0_s, aux0_s), grads_s = zero_shapes
+            init = (jnp.zeros(loss0_s.shape, loss0_s.dtype),
+                    jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), aux0_s),
+                    jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), grads_s))
+            (loss_sum, aux_sum, grad_sum), _ = jax.lax.scan(
+                body, init, (micro, rngs))
+            inv = 1.0 / accum
+            return ((loss_sum * inv,
+                     jax.tree.map(lambda a: a * inv, aux_sum)),
+                    jax.tree.map(lambda g: g * inv, grad_sum))
 
         def train_step(state, batch, step, rng, lr_scale):
-            def loss_fn(params):
-                return scheme.loss_fn(params, batch, rng)
-
-            (loss, aux), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state["params"])
+            (loss, aux), grads = accumulated_grad(state["params"], batch, rng)
             lr = schedule(step) * lr_scale
             updates, new_opt = opt_update(grads, state["opt_state"],
                                           state["params"], lr)
