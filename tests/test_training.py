@@ -361,3 +361,31 @@ class TestGradAccumulation:
                                        batch_size=8, grad_accum_steps=2)
         result = trainer.fit(num_epochs=1)
         assert np.isfinite(result["history"][-1]["loss"])
+
+
+class TestPredictInTrain:
+    def test_dropout_off_eval_is_deterministic_across_samples(self, tmp_path):
+        """predict_in_train=False -> MC draws identical (dropout off),
+        matching the reference's model.eval() prediction mode. Uses
+        dist_pred with zero coord noise (pretrain injects eval-time noise
+        by design, so it stays stochastic even with dropout off)."""
+        scheme, trainer = make_trainer(
+            DistPredScheme, tmp_path, "pit",
+            coords_input="rdkit", predict_in_train=False,
+            source_dropout=0.5, drop_path=0.3, evaluation_samples=3)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        loader = scheme.val_loader(0, 1)
+        preds = trainer.eval_epoch(state["params"], loader)
+        preds2 = trainer.eval_epoch(state["params"], loader, seed=123)
+        np.testing.assert_array_equal(preds["loss"], preds2["loss"])
+
+    def test_dropout_on_eval_varies(self, tmp_path):
+        scheme, trainer = make_trainer(
+            PretrainScheme, tmp_path, "pit2",
+            predict_in_train=True, source_dropout=0.5, drop_path=0.3,
+            evaluation_samples=3)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        loader = scheme.val_loader(0, 1)
+        p1 = trainer.eval_epoch(state["params"], loader, seed=1)
+        p2 = trainer.eval_epoch(state["params"], loader, seed=2)
+        assert not np.array_equal(p1["gap_loss"], p2["gap_loss"])

@@ -110,8 +110,12 @@ class DistPredScheme(TGTScheme):
         feed, rng = self._model_inputs(batch, edge_mask, rng, training=False)
         dist_targ, _ = self._dist_target(batch, rng, training=False)
 
+        det = not self.cfg.predict_in_train  # dropout-on MC (reference
+        # predict_in_train=True -> model.train() at prediction,
+        # tgt_training.py:42, training.py:700-706)
+
         def one(key):
-            logits = self.apply_model(params, feed, deterministic=False,
+            logits = self.apply_model(params, feed, deterministic=det,
                                       rng=key)
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
@@ -135,8 +139,10 @@ class DistPredScheme(TGTScheme):
         feed, rng = self._model_inputs(batch, edge_mask, rng, training=False)
         keys = jax.random.split(rng, self.nb_draw_samples)
 
+        det = not self.cfg.predict_in_train
+
         def one(key):
-            logits = self.apply_model(params, feed, deterministic=False,
+            logits = self.apply_model(params, feed, deterministic=det,
                                       rng=key)
             p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             p = p + jnp.swapaxes(p, -2, -3)

@@ -50,7 +50,9 @@ class GapPredScheme(FinetuneScheme):
             bins = jax.lax.dynamic_index_in_dim(all_bins, i % s_avail,
                                                 axis=1, keepdims=False)
             feed = self._feed_from_bins(batch, edge_mask, bins)
-            gap = self.apply_model(params, feed, deterministic=False, rng=key)
+            gap = self.apply_model(
+                params, feed, deterministic=not self.cfg.predict_in_train,
+                rng=key)
             acc, valid = carry
             finite = jnp.all(jnp.isfinite(gap))
             acc = jnp.where(finite, acc + gap, acc)

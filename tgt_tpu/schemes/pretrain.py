@@ -78,11 +78,13 @@ class PretrainScheme(TGTScheme):
         edge_mask = self.edge_mask_of(batch)
         dist_targ = coords2dist(batch["dft_coords"])
 
+        det = not self.cfg.predict_in_train
+
         def one(key):
             k_noise, k_model = jax.random.split(key)
             feed, _ = self._feed(batch, edge_mask, k_noise, noisy=True)
             gap, dist_logits = self.apply_model(params, feed,
-                                                deterministic=False,
+                                                deterministic=det,
                                                 rng=k_model)
             return {"gap": gap,
                     "probs": jax.nn.softmax(
