@@ -198,7 +198,8 @@ def triplet_attention_fused(p, e, mask, *, num_heads: int,
     e_ln = layernorm(p["tri_ln_e"], e)
     mask3 = mask[..., 0]                               # (b, N, N) additive
 
-    def direction(qkv_name, bias_name, transpose_bias):
+    def direction_operands(qkv_name, bias_name, transpose_bias):
+        """Build the kernel operands for one direction (no kernel call)."""
         q, k, v = jnp.split(linear(p[qkv_name], e_ln), 3, axis=-1)
         q = _split_heads(q, d, h)
         k = _split_heads(k, d, h)
@@ -208,38 +209,38 @@ def triplet_attention_fused(p, e, mask, *, num_heads: int,
         else:
             e_b = linear(p[bias_name], e_ln)
             g_b = None
-        if transpose_bias:  # out-direction: bias indexed (k, i) -> (i, k)
+        if transpose_bias:
             e_b = jnp.swapaxes(e_b, 1, 2)
             if g_b is not None:
                 g_b = jnp.swapaxes(g_b, 1, 2)
             m = jnp.swapaxes(mask3, 1, 2)
         else:
             m = mask3
-        bias = (e_b + m[..., None]).transpose(0, 3, 1, 2)   # (b, h, i, k)
-        if gated:
-            gate = (g_b + m[..., None]).transpose(0, 3, 1, 2)
-        else:
-            # ungated == gate logits +inf -> sigmoid == 1
-            gate = jnp.full_like(bias, 30.0)
-        # q indexed (i, j) -> (b, h, j, i, d); in-dir keys K[j, k] natural,
-        # out-dir keys K[k, j] -> same perm as q
+        bias = (e_b + m[..., None]).transpose(0, 3, 1, 2)
+        gate = ((g_b + m[..., None]).transpose(0, 3, 1, 2) if gated
+                else jnp.full_like(bias, 30.0))
         if transpose_bias:
-            q_t = q.transpose(0, 4, 2, 1, 3)
             k_t = k.transpose(0, 4, 2, 1, 3)
             v_t = v.transpose(0, 4, 2, 1, 3)
         else:
-            q_t = q.transpose(0, 4, 2, 1, 3)
             k_t = k.transpose(0, 4, 1, 2, 3)
             v_t = v.transpose(0, 4, 1, 2, 3)
-        out_t = triplet_biased_attention(q_t, k_t, v_t, bias, gate, scale)
-        # (b, h, j, i, d) -> (b, i, j, d, h)
-        return out_t.transpose(0, 3, 2, 4, 1)
+        q_t = q.transpose(0, 4, 2, 1, 3)
+        return q_t, k_t, v_t, bias, gate
 
-    if gated:
-        va_in = direction("lin_QKV_in", "lin_EG_in", False)
-        va_out = direction("lin_QKV_out", "lin_EG_out", True)
-    else:
-        va_in = direction("lin_QKV_in", "lin_E_in", False)
-        va_out = direction("lin_QKV_out", "lin_E_out", True)
+    names = (("lin_QKV_in", "lin_EG_in") if gated
+             else ("lin_QKV_in", "lin_E_in"),
+             ("lin_QKV_out", "lin_EG_out") if gated
+             else ("lin_QKV_out", "lin_E_out"))
+    ops_in = direction_operands(*names[0], False)
+    ops_out = direction_operands(*names[1], True)
+    # both directions share the per-j attention algebra — stack them along
+    # the head-grid axis and run ONE kernel (halves kernel launches per layer)
+    stacked = tuple(jnp.concatenate([a, b_], axis=1)
+                    for a, b_ in zip(ops_in, ops_out))
+    out_t = triplet_biased_attention(*stacked, scale)
+    # (b, 2h, j, i, d) -> split directions -> (b, i, j, d, h) each
+    va_in = out_t[:, :h].transpose(0, 3, 2, 4, 1)
+    va_out = out_t[:, h:].transpose(0, 3, 2, 4, 1)
     va = jnp.concatenate([va_in, va_out], axis=-1).reshape(b, n, n, w * 2)
     return linear(p["lin_O"], va)
