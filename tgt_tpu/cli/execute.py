@@ -37,12 +37,14 @@ def configs_from_args(args: List[str]) -> Dict[str, Any]:
     config: Dict[str, Any] = {}
     if args:
         args = list(args)
-        if os.path.isfile(args[0]):
-            config.update(load_yaml(args[0]))
-            args = args[1:]
-        elif os.path.isdir(args[0]):
+        if os.path.isdir(args[0]):
             config.update(load_yaml(os.path.join(args[0],
                                                  DEFAULT_CONFIG_FILE)))
+            args = args[1:]
+        elif os.path.exists(args[0]) or args[0] == "-":
+            # regular files AND pipes/char devices (/dev/stdin, heredocs)
+            path = "/dev/stdin" if args[0] == "-" else args[0]
+            config.update(load_yaml(path))
             args = args[1:]
         if args:
             config.update(parse_cli_overrides(args))
