@@ -191,10 +191,16 @@ class PCQM4Mv2Dataset:
 
     @property
     def sizes(self) -> np.ndarray:
-        """Per-position node counts for the loaded shard, indexed like
-        __getitem__ (position - index_offset). Used by size-bucketed
-        batching."""
-        return self.records["num_nodes"].to_numpy()
+        """Per-position node counts, indexed by GLOBAL position (full split
+        length). With a per-rank cache range only the loaded shard's entries
+        are filled (samplers only read their own slice). Used by
+        size-bucketed batching."""
+        local = self.records["num_nodes"].to_numpy()
+        if self.index_offset == 0 and len(local) == self.dataset_length:
+            return local
+        full = np.zeros(self.dataset_length, local.dtype)
+        full[self.index_offset:self.index_offset + len(local)] = local
+        return full
 
     def get_row(self, row_id: int) -> Dict:
         row: Dict = {}

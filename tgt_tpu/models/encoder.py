@@ -70,9 +70,9 @@ def tgt_layer_apply(p: Dict[str, Any], g: Graph, cfg: TGTConfig,
     """One TGT layer (reference forward: layers.py:262-294)."""
     h, e, mask = g.h, g.e, g.mask
     if deterministic:
-        r = [None] * 8
+        r = [None] * 9
     else:
-        r = list(jax.random.split(rng, 8))
+        r = list(jax.random.split(rng, 9))
 
     def dp(key, x):
         return drop_path(key, x, drop_path_rate, deterministic)
@@ -108,7 +108,7 @@ def tgt_layer_apply(p: Dict[str, Any], g: Graph, cfg: TGTConfig,
             e = e + dp(r[6], tri)
         e = e + dp(r[7], ffn(p["edge_ffn"], e, activation=cfg.activation,
                              act_dropout=cfg.edge_act_dropout,
-                             deterministic=deterministic, rng=r[3]))
+                             deterministic=deterministic, rng=r[8]))
 
     return g.copy(h=h, e=e)
 
@@ -126,6 +126,12 @@ def encoder_init(rng: jax.Array, cfg: TGTConfig) -> Dict[str, Any]:
     """
     h_total = cfg.model_height
     keys = jax.random.split(rng, h_total)
+    if cfg.has_indiv:
+        # per-layer configs (IndivConfig) -> possibly heterogeneous layer
+        # params; stored as a tuple, applied unrolled
+        return {"indiv": tuple(
+            tgt_layer_init(keys[i], cfg.layer_cfg(i), *cfg.layer_updates(i))
+            for i in range(h_total))}
     inner = []
     for i in range(h_total - 1):
         nu, eu = cfg.layer_updates(i)
@@ -139,7 +145,17 @@ def encoder_init(rng: jax.Array, cfg: TGTConfig) -> Dict[str, Any]:
 
 def encoder_apply(params: Dict[str, Any], g: Graph, cfg: TGTConfig,
                   *, deterministic: bool = True,
-                  rng: Optional[jax.Array] = None) -> Graph:
+                  rng: Optional[jax.Array] = None,
+                  capture_intermediates: bool = False):
+    """Apply the stack. With ``capture_intermediates`` (test/debug only),
+    returns ``(g, captures)`` where captures is a list of (h, e) after EACH
+    layer application (layer_multiplier reps captured separately) — used for
+    per-layer activation parity vs the reference checkpoints (BASELINE.md;
+    reference layers are hookable nn.Modules, encoder.py:79-90)."""
+    if capture_intermediates or cfg.has_indiv:
+        out = _encoder_apply_unrolled(params, g, cfg,
+                                      deterministic=deterministic, rng=rng)
+        return out if capture_intermediates else out[0]
     h_total = cfg.model_height
     n_inner = h_total - 1
 
@@ -197,3 +213,34 @@ def encoder_apply(params: Dict[str, Any], g: Graph, cfg: TGTConfig,
     g = apply_once(params["last"], g, h_total - 1, rep_keys,
                    dp_rates[h_total - 1], nu, eu)
     return g
+
+
+def _encoder_apply_unrolled(params: Dict[str, Any], g: Graph, cfg: TGTConfig,
+                            *, deterministic: bool = True,
+                            rng: Optional[jax.Array] = None):
+    """Unrolled encoder: records (h, e) after every layer application and
+    supports per-layer IndivConfig heterogeneity."""
+    h_total = cfg.model_height
+    if rng is None:
+        layer_keys = None
+    else:
+        layer_keys = jax.random.split(rng, h_total * cfg.layer_multiplier)
+        layer_keys = layer_keys.reshape(h_total, cfg.layer_multiplier, -1)
+    captures = []
+    for i in range(h_total):
+        if "indiv" in params:
+            layer_p = params["indiv"][i]
+        elif i < h_total - 1:
+            layer_p = jax.tree.map(lambda x, i=i: x[i], params["layers"])
+        else:
+            layer_p = params["last"]
+        nu, eu = cfg.layer_updates(i)
+        lcfg = cfg.layer_cfg(i)
+        for m in range(cfg.layer_multiplier):
+            k = None if layer_keys is None else layer_keys[i][m]
+            g = tgt_layer_apply(layer_p, g, lcfg, node_update=nu,
+                                edge_update=eu,
+                                drop_path_rate=cfg.drop_path_rate(i),
+                                deterministic=deterministic, rng=k)
+            captures.append((g.h, g.e))
+    return g, captures

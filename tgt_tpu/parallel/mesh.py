@@ -70,6 +70,44 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spec_for_array(v, num_pair: int = 1) -> P:
+    """PartitionSpec for one batch entry by shape: leading axis over 'data';
+    square (N, N) node-pair tensors additionally over 'pair' when the mesh
+    has a pair dimension; scalars/0-d metadata replicated."""
+    ndim = np.ndim(v)
+    if ndim == 0:
+        return P()
+    shape = np.shape(v)
+    if num_pair > 1 and ndim >= 3 and shape[1] == shape[2] \
+            and shape[1] % num_pair == 0:
+        return P(DATA_AXIS, PAIR_AXIS)
+    return P(DATA_AXIS)
+
+
+def make_global_batch(mesh: Mesh, batch: Dict, num_pair: int = 1) -> Dict:
+    """Turn a host batch dict into globally-sharded device arrays.
+
+    Single-process: a plain device_put with the standard shardings.
+    Multi-process: each process contributes its local rows of the global
+    batch (the distributed samplers already give each process a distinct
+    shard) via ``jax.make_array_from_process_local_data`` — the jax-native
+    replacement for DDP's per-rank batches (reference training.py:149-153).
+    """
+    multiproc = jax.process_count() > 1
+    out = {}
+    for k, v in batch.items():
+        sharding = NamedSharding(mesh, spec_for_array(v, num_pair))
+        arr = np.asarray(v)
+        if multiproc and np.ndim(arr) >= 1:
+            out[k] = jax.make_array_from_process_local_data(sharding, arr)
+        elif multiproc:
+            out[k] = jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx, a=arr: a[idx])
+        else:
+            out[k] = jax.device_put(arr, sharding)
+    return out
+
+
 def gather_predictions(preds: Dict[str, np.ndarray],
                        world_size: int) -> Dict[str, np.ndarray]:
     """Concatenate per-process prediction shards across hosts.
@@ -83,9 +121,26 @@ def gather_predictions(preds: Dict[str, np.ndarray],
     from jax.experimental import multihost_utils
     out = {}
     for k, v in preds.items():
-        gathered = multihost_utils.process_allgather(v, tiled=False)
-        # (num_processes, per_rank, ...) -> concatenated
-        out[k] = np.concatenate(list(np.asarray(gathered)), axis=0)
+        v = np.asarray(v)
+        if v.ndim == 0:
+            out[k] = np.asarray(multihost_utils.process_allgather(v))
+            continue
+        # per-rank leading dims differ whenever the split size is not
+        # divisible by world_size (np.array_split in the test sampler) —
+        # exchange lengths, zero-pad to the max, gather, then trim each
+        # rank's shard back (mirrors the reference's zero-pad + all-reduce
+        # gather, training.py:746-774)
+        n_local = np.asarray(v.shape[0], np.int64)
+        lengths = np.asarray(multihost_utils.process_allgather(n_local))
+        n_max = int(lengths.max())
+        if v.shape[0] < n_max:
+            pad = np.zeros((n_max - v.shape[0],) + v.shape[1:], v.dtype)
+            v = np.concatenate([v, pad], axis=0)
+        gathered = np.asarray(multihost_utils.process_allgather(v,
+                                                                tiled=False))
+        out[k] = np.concatenate(
+            [gathered[r, :int(lengths[r])] for r in range(len(lengths))],
+            axis=0)
     return out
 
 

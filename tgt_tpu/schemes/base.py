@@ -109,6 +109,11 @@ def default_scheme_config() -> Config:
         use_scan=True,
         use_pallas=False,
         buckets=[16, 24, 32, 48, 64],
+        # production mesh: GSPMD over (data, pair). use_mesh=False forces
+        # single-device execution (debug); num_pair_devices>1 turns on
+        # edge-block partitioning of the pair tensors (SURVEY.md §5.7)
+        use_mesh=True,
+        num_pair_devices=1,
         # optimizer / schedule
         optimizer="adam",
         max_lr=5e-4,
@@ -196,18 +201,26 @@ class TGTScheme:
 
     def build_model_cfg(self) -> TGTConfig:
         c = self.cfg
+
+        def iv(v):
+            # YAML lists become per-layer IndivConfig tuples
+            # (reference TGT_Encoder.IndivConfig, encoder.py:25,54-56)
+            return tuple(v) if isinstance(v, list) else v
+
         return TGTConfig(
             node_width=c.node_width, edge_width=c.edge_width,
-            num_heads=c.num_heads, model_height=c.model_height,
+            num_heads=iv(c.num_heads), model_height=c.model_height,
             layer_multiplier=c.layer_multiplier,
-            triplet_heads=c.triplet_heads, triplet_type=c.triplet_type,
-            triplet_dropout=c.triplet_dropout, activation=c.activation,
-            scale_degree=c.scale_degree,
-            node_ffn_multiplier=c.node_ffn_multiplier,
-            edge_ffn_multiplier=c.edge_ffn_multiplier,
-            source_dropout=c.source_dropout, drop_path=c.drop_path,
-            node_act_dropout=c.node_act_dropout,
-            edge_act_dropout=c.edge_act_dropout,
+            triplet_heads=iv(c.triplet_heads),
+            triplet_type=iv(c.triplet_type),
+            triplet_dropout=iv(c.triplet_dropout),
+            activation=iv(c.activation),
+            scale_degree=iv(c.scale_degree),
+            node_ffn_multiplier=iv(c.node_ffn_multiplier),
+            edge_ffn_multiplier=iv(c.edge_ffn_multiplier),
+            source_dropout=iv(c.source_dropout), drop_path=iv(c.drop_path),
+            node_act_dropout=iv(c.node_act_dropout),
+            edge_act_dropout=iv(c.edge_act_dropout),
             upto_hop=c.upto_hop, embed_3d_type=c.embed_3d_type,
             num_3d_kernels=c.num_3d_kernels,
             num_dist_bins=getattr(c, "num_dist_bins", 256),
@@ -241,7 +254,7 @@ class TGTScheme:
     def extra_columns(self, split: str) -> List:
         return []
 
-    def get_dataset(self, split: str):
+    def get_dataset(self, split: str, rank: int = 0, world_size: int = 1):
         if split in self._datasets:
             return self._datasets[split]
         if self.cfg.dataset_source == "synthetic":
@@ -250,12 +263,23 @@ class TGTScheme:
             ds = SyntheticDataset(num_samples=n, max_nodes=self.cfg.synth_max_nodes,
                                   seed={"train": 0, "val": 1, "test": 2}[split])
         else:
+            from tgt_tpu.data.loader import slice_for_rank
             from tgt_tpu.data.pcqm import PCQM4Mv2Dataset
             from tgt_tpu.data.structural import AddStructuralData
+            # per-rank cache range: each host only loads/caches its
+            # contiguous sampler slice of the (3.3M-row) table — both
+            # samplers use the same slice math (reference data.py:63-66,
+            # tgt_training.py:59-62). trial_run reads rows 0..k, so it
+            # needs the full range.
+            cache_range_fn = None
+            if world_size > 1 and not getattr(self.cfg, "trial_run", False):
+                cache_range_fn = (lambda n, r=rank, w=world_size:
+                                  slice_for_rank(n, r, w))
             ds = PCQM4Mv2Dataset(
                 split=self.dataset_split_name(split),
                 dataset_path=self.cfg.dataset_path,
                 return_idx=True,
+                cache_range_fn=cache_range_fn,
                 transforms=[AddStructuralData()],
                 additional_columns=self.extra_columns(split))
         if getattr(self.cfg, "trial_run", False):
@@ -266,7 +290,7 @@ class TGTScheme:
         return ds
 
     def train_loader(self, epoch: int, rank: int, world_size: int):
-        ds = self.get_dataset("train")
+        ds = self.get_dataset("train", rank, world_size)
         sizes = getattr(ds, "sizes", None)
         if getattr(self.cfg, "size_bucketed_batching", False) and \
                 sizes is not None and len(sizes) == len(ds):
@@ -284,7 +308,7 @@ class TGTScheme:
                               rows, buckets=tuple(self.cfg.buckets)))
 
     def val_loader(self, rank: int, world_size: int):
-        ds = self.get_dataset("val")
+        ds = self.get_dataset("val", rank, world_size)
         bsz = round(self.cfg.batch_size * self.cfg.prediction_bmult)
         sampler = DistributedTestSampler(len(ds), bsz, rank=rank,
                                          world_size=world_size)
@@ -294,7 +318,7 @@ class TGTScheme:
 
     def test_loader(self, split: str, rank: int, world_size: int):
         ds = self.get_dataset(split if split in ("train", "val", "test")
-                              else "val")
+                              else "val", rank, world_size)
         bsz = round(self.cfg.batch_size * self.cfg.prediction_bmult)
         sampler = DistributedTestSampler(len(ds), bsz, rank=rank,
                                          world_size=world_size)

@@ -75,8 +75,8 @@ class FinetuneScheme(TGTScheme):
             cols.append(Coords("dft"))
         return cols
 
-    def get_dataset(self, split: str):
-        ds = super().get_dataset(split)
+    def get_dataset(self, split: str, rank: int = 0, world_size: int = 1):
+        ds = super().get_dataset(split, rank, world_size)
         if self.cfg.dataset_source == "synthetic":
             self._attach_synthetic_bins(ds)
         return ds
@@ -84,6 +84,7 @@ class FinetuneScheme(TGTScheme):
     def _attach_synthetic_bins(self, ds):
         """Derive fake 'predicted' bins from the synthetic coords so the
         finetune path runs hermetically."""
+        ds = getattr(ds, "dataset", ds)  # unwrap trial-run Subset views
         if getattr(ds, "_bins_attached", False):
             return
         rs = np.random.RandomState(7)

@@ -40,7 +40,8 @@ def eval_condition(expr: Optional[str], context: Dict[str, Any]) -> bool:
 
     The reference eval()s these with full builtins (training.py:648-649,
     training_mixins.py:67,102); here the namespace is restricted to the
-    context values — same capability, no arbitrary code execution.
+    context values. Note: this is hygiene, not a sandbox — condition strings
+    are trusted config input, same trust model as the reference's bare eval.
     """
     if not expr:
         return True
@@ -105,6 +106,21 @@ class Trainer:
         self.world_size = world_size
         self.is_main = rank == 0
 
+        # Production (data, pair) mesh: every jitted train/eval step runs
+        # GSPMD-sharded over ALL devices — batches shard on their leading
+        # axis over 'data' (XLA inserts the gradient all-reduce, replacing
+        # the reference's DDP wrap, training.py:149-153) and, when
+        # num_pair_devices > 1, node-pair tensors additionally shard over
+        # 'pair' (edge-block partitioning, SURVEY.md §5.7).
+        self.mesh = None
+        self.num_pair = int(getattr(self.cfg, "num_pair_devices", 1) or 1)
+        if getattr(self.cfg, "use_mesh", True) and \
+                (len(jax.devices()) > 1 or self.num_pair > 1):
+            from tgt_tpu.parallel.mesh import make_mesh
+            self.mesh = make_mesh(
+                num_data=len(jax.devices()) // self.num_pair,
+                num_pair=self.num_pair)
+
         self.model_path = self.cfg.save_path
         self.log_path = os.path.join(self.model_path, "logs")
         self.ckpt = CheckpointManager(
@@ -135,12 +151,60 @@ class Trainer:
         self._eval_step = None
 
     # ------------------------------------------------------------------
+    # mesh / sharding helpers
+    # ------------------------------------------------------------------
+    @property
+    def _repl(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return NamedSharding(self.mesh, P())
+
+    def shard_state(self, state):
+        """Replicate the training state over the mesh (pure DP: params and
+        optimizer moments live on every device)."""
+        if self.mesh is None:
+            return state
+        return jax.device_put(state, self._repl)
+
+    def shard_device_batch(self, device_batch):
+        """Globally shard a device batch over the mesh (leading axis over
+        'data', pair tensors over 'pair').
+
+        The batch axis pads up to a multiple of the data-axis size first —
+        sharded device_put needs exact divisibility and padded rows already
+        carry zero sample weight (pad_batch_dim's discipline)."""
+        if self.mesh is None:
+            return device_batch
+        from tgt_tpu.parallel.mesh import DATA_AXIS, make_global_batch
+        nd = self.mesh.shape[DATA_AXIS]
+        lead = [np.shape(v)[0] for v in device_batch.values()
+                if np.ndim(v) >= 1]
+        b = max(lead) if lead else 0
+        target = -(-b // nd) * nd if b else 0
+        if target != b:
+            def pad_rows(v):
+                v = np.asarray(v)
+                if v.ndim >= 1 and v.shape[0] == b:
+                    pad = np.zeros((target - b,) + v.shape[1:], v.dtype)
+                    return np.concatenate([v, pad], axis=0)
+                return v
+            device_batch = {k: pad_rows(v) for k, v in device_batch.items()}
+        return make_global_batch(self.mesh, device_batch, self.num_pair)
+
+    def _put_repl(self, x):
+        """Scalar step inputs (step index, rng, lr scale) as replicated
+        global arrays so the sharded jit accepts them in multi-process."""
+        x = jnp.asarray(x)
+        if self.mesh is None:
+            return x
+        return jax.device_put(x, self._repl)
+
+    # ------------------------------------------------------------------
     # state init / restore
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array) -> Dict[str, Any]:
         params = self.scheme.init_params(rng)
         opt_state = jax.jit(self.opt_init)(params)
-        return {"params": params, "opt_state": opt_state}
+        return self.shard_state({"params": params, "opt_state": opt_state})
 
     def load_or_init(self, rng: jax.Array) -> Dict[str, Any]:
         state = self.init_state(rng)
@@ -153,6 +217,13 @@ class Trainer:
             self.global_step = counters.get("global_step", 0)
             self.monitor_best = counters.get("monitor_best", float("inf"))
             self.monitor_best_epoch = counters.get("monitor_best_epoch", -1)
+            self.recovery_tries = counters.get("recovery_tries", 0)
+            # restore plateau-LR state so lr_scale survives resume
+            # (the reference persists mixin state in the training state
+            # dict, training.py:246-248,284-290)
+            if self.plateau is not None and "plateau" in counters:
+                self.plateau.load_state_dict(counters["plateau"])
+                self.scheme.lr_scale = self.plateau.scale
             if self.is_main:
                 print(f"Resumed from checkpoint @ epoch {self.epoch}, "
                       f"step {self.global_step}", flush=True)
@@ -166,7 +237,7 @@ class Trainer:
                       f"{self.cfg.pretrained_weights_file}", flush=True)
                 print(f"missing keys: {missing[:8]}", flush=True)
                 print(f"unexpected keys: {unexpected[:8]}", flush=True)
-        return state
+        return self.shard_state(state)
 
     # ------------------------------------------------------------------
     # jitted steps
@@ -191,25 +262,32 @@ class Trainer:
             if accum <= 1:
                 return grad_of(params, batch, rng)
 
+            def splittable(x):
+                # scalars / per-batch metadata (e.g. finetune's 'bins_sample')
+                # broadcast to every micro-batch instead of splitting
+                return jnp.ndim(x) >= 1 and x.shape[0] % accum == 0 \
+                    and x.shape[0] > 0
+
             def split(x):
                 b = x.shape[0]
                 return x.reshape(accum, b // accum, *x.shape[1:])
 
-            micro = {k: split(v) for k, v in batch.items()}
+            micro = {k: split(v) for k, v in batch.items() if splittable(v)}
+            shared = {k: v for k, v in batch.items() if not splittable(v)}
             rngs = jax.random.split(rng, accum)
 
             def body(carry, xs):
                 loss_sum, aux_sum, grad_sum = carry
                 mb, r = xs
-                (loss, aux), grads = grad_of(params, mb, r)
+                (loss, aux), grads = grad_of(params, {**mb, **shared}, r)
                 carry = (loss_sum + loss,
                          jax.tree.map(lambda a, x: a + x, aux_sum, aux),
                          jax.tree.map(lambda a, g: a + g, grad_sum, grads))
                 return carry, None
 
-            zero_shapes = jax.eval_shape(grad_of, params,
-                                         jax.tree.map(lambda x: x[0], micro),
-                                         rngs[0])
+            zero_shapes = jax.eval_shape(
+                grad_of, params,
+                {**jax.tree.map(lambda x: x[0], micro), **shared}, rngs[0])
             (loss0_s, aux0_s), grads_s = zero_shapes
             init = (jnp.zeros(loss0_s.shape, loss0_s.dtype),
                     jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), aux0_s),
@@ -243,6 +321,11 @@ class Trainer:
             metrics.update(aux)
             return new_state, metrics
 
+        if self.mesh is not None:
+            # state and metrics stay replicated; the batch keeps whatever
+            # sharding its arrays arrive with (shard_device_batch)
+            return jax.jit(train_step, donate_argnums=(0,),
+                           out_shardings=(self._repl, self._repl))
         return jax.jit(train_step, donate_argnums=(0,))
 
     def build_eval_step(self):
@@ -268,10 +351,11 @@ class Trainer:
                 fake = repad_to_bucket(batch, bucket)
             except ValueError:
                 continue
-            db = self.scheme.device_batch(fake)
+            db = self.shard_device_batch(self.scheme.device_batch(fake))
             self._train_step.lower(
-                state, db, jnp.asarray(0, jnp.int32), jax.random.PRNGKey(0),
-                jnp.asarray(1.0, jnp.float32)).compile()
+                state, db, self._put_repl(jnp.asarray(0, jnp.int32)),
+                self._put_repl(jax.random.PRNGKey(0)),
+                self._put_repl(jnp.asarray(1.0, jnp.float32))).compile()
             if self.is_main:
                 print(f"precompiled bucket {bucket}", flush=True)
 
@@ -315,13 +399,19 @@ class Trainer:
         stop_reason = None
         for batch in loader:
             n = self.scheme.batch_num_samples(batch)
-            device_batch = self.scheme.device_batch(batch)
+            device_batch = self.shard_device_batch(self.scheme.device_batch(batch))
+            # NOTE: under the global mesh the per-step rng is shared by all
+            # ranks (the batch is one global array; dropout masks derive from
+            # positions, not ranks)
             rng = jax.random.fold_in(jax.random.PRNGKey(
                 getattr(self.cfg, "random_seed", 0) or 0),
-                self.global_step * self.world_size + self.rank)
+                self.global_step if self.mesh is not None
+                else self.global_step * self.world_size + self.rank)
             state, metrics = self._train_step(
-                state, device_batch, jnp.asarray(self.global_step, jnp.int32),
-                rng, jnp.asarray(self.scheme.lr_scale, jnp.float32))
+                state, device_batch,
+                self._put_repl(jnp.asarray(self.global_step, jnp.int32)),
+                self._put_repl(rng),
+                self._put_repl(jnp.asarray(self.scheme.lr_scale, jnp.float32)))
             pending.append((metrics, n))
             stop_reason = drain()
             if stop_reason:
@@ -339,8 +429,19 @@ class Trainer:
         if self._eval_step is None:
             self._eval_step = self.build_eval_step()
         collected: Dict[str, list] = {}
+        # per-sample eval outputs must be host-readable: shard eval batches
+        # over the mesh only in single-process mode (multi-process keeps
+        # eval local per rank and gathers afterwards, reference
+        # training.py:746-774)
+        use_mesh = self.mesh is not None and jax.process_count() == 1
+        if self.mesh is not None and not use_mesh:
+            # params arrive replicated over the global mesh; pull a host copy
+            # so the local eval jit doesn't mix global and local arrays
+            params = jax.device_get(params)
         for i, batch in enumerate(loader):
             device_batch = self.scheme.device_batch(batch, training=False)
+            if use_mesh:
+                device_batch = self.shard_device_batch(device_batch)
             rng = jax.random.fold_in(jax.random.PRNGKey(seed + 1000), i)
             out = self._eval_step(params, device_batch, rng)
             out = {k: np.asarray(v) for k, v in out.items()}
@@ -408,6 +509,12 @@ class Trainer:
                 val_loader = self.scheme.val_loader(self.rank, self.world_size)
                 preds = self.eval_epoch(state["params"], val_loader,
                                         seed=self.epoch)
+                if self.world_size > 1:
+                    # monitor-best / plateau must act on the GLOBAL val
+                    # metric, not rank-0's shard (reference monitors the
+                    # all-gathered predictions, training.py:746-774)
+                    from tgt_tpu.parallel.mesh import gather_predictions
+                    preds = gather_predictions(preds, self.world_size)
                 val_metrics = self.scheme.evaluate_predictions(preds)
                 logs.update({f"val_{k}": float(v)
                              for k, v in val_metrics.items()})
@@ -465,10 +572,13 @@ class Trainer:
             return
         if getattr(self.cfg, "trial_run", False):
             return  # trial runs skip checkpoint io (training.py:292-293)
-        self.ckpt.save(state["params"], state["opt_state"],
-                       {"epoch": self.epoch, "global_step": self.global_step,
-                        "monitor_best": self.monitor_best,
-                        "monitor_best_epoch": self.monitor_best_epoch},
+        counters = {"epoch": self.epoch, "global_step": self.global_step,
+                    "monitor_best": self.monitor_best,
+                    "monitor_best_epoch": self.monitor_best_epoch,
+                    "recovery_tries": self.recovery_tries}
+        if self.plateau is not None:
+            counters["plateau"] = self.plateau.state_dict()
+        self.ckpt.save(state["params"], state["opt_state"], counters,
                        epoch=self.epoch)
 
     def append_history(self, logs: Dict) -> None:
