@@ -15,9 +15,10 @@ Note the head layout: the feature axis splits as (dot_dim, num_heads) with the
 head index fastest — this matches the reference's `.view(b, N, dot, heads)` and
 matters for checkpoint parity.
 
-A fused Pallas TPU kernel with identical semantics lives in
-ops/pallas/egt_attention.py; this file is the correctness oracle and the XLA
-fallback (XLA already fuses these einsums well on the MXU).
+This jnp path IS the production implementation: XLA fuses the QK^T+E bias,
+gated softmax, degree scaler and output projections onto the MXU well (the
+N^2 attention is a small fraction of step time next to the N^3 triplet ops —
+see CLAUDE.md's measured breakdown), so no Pallas kernel is provided for it.
 """
 from __future__ import annotations
 

@@ -17,9 +17,11 @@ variant the out-direction softmax/gates are NOT masked
 come from layernormed padding states). This makes outputs depend on padding
 content exactly as the reference does.
 
-These are the correctness oracles / XLA fallbacks; fused blockwise Pallas
-kernels that avoid materializing the (b,N,N,N,h) logits in HBM live in
-ops/pallas/triplet_kernels.py.
+These are the correctness oracles AND the default production path (XLA's
+conv-based batched-dot lowering wins at PCQM sizes — measured in CLAUDE.md).
+A fused blockwise Pallas kernel for the attention variants lives in
+ops/pallas/triplet_attention.py (opt-in via TGTConfig.use_pallas; useful in
+memory-bound regimes since it avoids materializing the (b,N,N,N,h) logits).
 """
 from __future__ import annotations
 
@@ -189,6 +191,12 @@ def _triplet_attention_impl(p, e, mask, *, num_heads, gated, attention_dropout,
     e_ln = layernorm(p["tri_ln_e"], e)
     r_in, r_out = (None, None) if deterministic else jax.random.split(rng)
 
+    # N^3 logits carried as (b, i, j, h, k) — k (the softmax axis) lives in
+    # the minor/lane dimension, so the softmax chain runs on densely packed
+    # lanes and matches the batched-dot operand layouts. Measured 2.98x over
+    # the h-minor (b,i,j,k,h) spelling on the isolated core (fwd+bwd, TPU
+    # v5e, b=8 N=48; benchmarks/triplet_variants.py), numerics identical.
+
     # ---- "in" direction: for (i,j) attend over k via edges (j,k),
     #      biased/gated by (i,k) -------------------------------------------
     q_in, k_in, v_in = jnp.split(linear(p["lin_QKV_in"], e_ln), 3, axis=-1)
@@ -200,15 +208,16 @@ def _triplet_attention_impl(p, e, mask, *, num_heads, gated, attention_dropout,
         e_b, g_b = jnp.split(linear(p["lin_EG_in"], e_ln), 2, axis=-1)
     else:
         e_b = linear(p["lin_E_in"], e_ln)
-    e_bias_in = e_b[:, :, None]                      # (b, i, 1, k, h)
-    mask_in = mask[:, :, None]                       # (b, i, 1, k, 1)
+    # (b, i, k, h) + mask -> (b, i, 1, h, k)
+    bias_in = jnp.swapaxes(e_b + mask, 2, 3)[:, :, None]
 
-    h_in = jnp.einsum("bijdh,bjkdh->bijkh", q_in, k_in) + e_bias_in
-    a_in = jax.nn.softmax(h_in + mask_in, axis=3)
+    h_in = jnp.einsum("bijdh,bjkdh->bijhk", q_in, k_in) + bias_in
+    a_in = jax.nn.softmax(h_in, axis=-1)
     if gated:
-        a_in = a_in * jax.nn.sigmoid(g_b[:, :, None] + mask_in)
+        a_in = a_in * jax.nn.sigmoid(
+            jnp.swapaxes(g_b + mask, 2, 3))[:, :, None]
     a_in = dropout(r_in, a_in, attention_dropout, deterministic)
-    va_in = jnp.einsum("bijkh,bjkdh->bijdh", a_in, v_in)
+    va_in = jnp.einsum("bijhk,bjkdh->bijdh", a_in, v_in)
 
     # ---- "out" direction: softmax over k of logits indexed (k,i,j).
     # Computed as the in-direction with pair-transposed K/V/bias — the
@@ -223,16 +232,17 @@ def _triplet_attention_impl(p, e, mask, *, num_heads, gated, attention_dropout,
         e_b2, g_b2 = jnp.split(linear(p["lin_EG_out"], e_ln), 2, axis=-1)
     else:
         e_b2 = linear(p["lin_E_out"], e_ln)
-    e_bias_out = jnp.swapaxes(e_b2, 1, 2)[:, :, None]   # (b, i, 1, k, h)
-    mask_out = jnp.swapaxes(mask, 1, 2)[:, :, None]     # (b, i, 1, k, 1)
+    bias_out = jnp.swapaxes(jnp.swapaxes(e_b2, 1, 2)
+                            + jnp.swapaxes(mask, 1, 2), 2, 3)[:, :, None]
 
-    h_out = jnp.einsum("bijdh,bjkdh->bijkh", q_out, k_out) + e_bias_out
-    a_out = jax.nn.softmax(h_out + mask_out, axis=3)
+    h_out = jnp.einsum("bijdh,bjkdh->bijhk", q_out, k_out) + bias_out
+    a_out = jax.nn.softmax(h_out, axis=-1)
     if gated:
-        a_out = a_out * jax.nn.sigmoid(
-            jnp.swapaxes(g_b2, 1, 2)[:, :, None] + mask_out)
+        a_out = a_out * jax.nn.sigmoid(jnp.swapaxes(
+            jnp.swapaxes(g_b2, 1, 2) + jnp.swapaxes(mask, 1, 2),
+            2, 3))[:, :, None]
     a_out = dropout(r_out, a_out, attention_dropout, deterministic)
-    va_out = jnp.einsum("bijkh,bjkdh->bijdh", a_out, v_out)
+    va_out = jnp.einsum("bijhk,bjkdh->bijdh", a_out, v_out)
 
     va = jnp.concatenate([va_in, va_out], axis=-1).reshape(b, n, n, w * 2)
     return linear(p["lin_O"], va)
@@ -281,10 +291,12 @@ def axial_attention(p, e, mask, *, num_heads, attention_dropout=0.0,
     k_in = k_in.reshape(b, n, n, d, num_heads)
     v_in = v_in.reshape(b, n, n, d, num_heads)
 
-    h_in = jnp.einsum("bijdh,bjkdh->bijkh", q_in, k_in)
-    a_in = jax.nn.softmax(h_in + mask[:, :, None], axis=3)
+    # k-minor logits layout, see _triplet_attention_impl
+    mask_in = jnp.swapaxes(mask, 2, 3)[:, :, None]       # (b, i, 1, 1, k)
+    h_in = jnp.einsum("bijdh,bjkdh->bijhk", q_in, k_in)
+    a_in = jax.nn.softmax(h_in + mask_in, axis=-1)
     a_in = dropout(r_in, a_in, attention_dropout, deterministic)
-    va_in = jnp.einsum("bijkh,bjkdh->bijdh", a_in, v_in)
+    va_in = jnp.einsum("bijhk,bjkdh->bijdh", a_in, v_in)
 
     q_out, k_out, v_out = jnp.split(linear(p["lin_QKV_out"], e_ln), 3, axis=-1)
     q_out = q_out.reshape(b, n, n, d, num_heads) * scale
@@ -292,11 +304,11 @@ def axial_attention(p, e, mask, *, num_heads, attention_dropout=0.0,
     v_out = jnp.swapaxes(v_out.reshape(b, n, n, d, num_heads), 1, 2)
 
     # out-direction via pair-transposed operands (see triplet_attention)
-    h_out = jnp.einsum("bijdh,bjkdh->bijkh", q_out, k_out)
-    a_out = jax.nn.softmax(
-        h_out + jnp.swapaxes(mask, 1, 2)[:, :, None], axis=3)
+    mask_out = jnp.swapaxes(jnp.swapaxes(mask, 1, 2), 2, 3)[:, :, None]
+    h_out = jnp.einsum("bijdh,bjkdh->bijhk", q_out, k_out)
+    a_out = jax.nn.softmax(h_out + mask_out, axis=-1)
     a_out = dropout(r_out, a_out, attention_dropout, deterministic)
-    va_out = jnp.einsum("bijkh,bjkdh->bijdh", a_out, v_out)
+    va_out = jnp.einsum("bijhk,bjkdh->bijdh", a_out, v_out)
 
     va = jnp.concatenate([va_in, va_out], axis=-1).reshape(b, n, n, w * 2)
     return linear(p["lin_O"], va)
