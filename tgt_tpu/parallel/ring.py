@@ -40,18 +40,24 @@ def ring_pass(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
 
 
 def _block_attention(q_blk, k_blk, v_blk, bias, gate, scale):
-    """One (i_local, j_block) tile of per-j biased gated attention.
+    """One (i_local, j_block) tile of per-j biased (optionally gated)
+    attention.
 
     q_blk: (b, i_loc, j_blk, d, h) — Q rows for local i, block j columns
     k_blk/v_blk: (b, j_blk, N, d, h) — K/V rows for the j block
-    bias/gate: (b, i_loc, N, h) — additive bias over k (mask folded in)
+    bias/gate: (b, i_loc, N, h) — additive bias over k (mask folded in);
+    gate=None for the ungated variants
     returns (b, i_loc, j_blk, d, h)
     """
-    s = jnp.einsum("bijdh,bjkdh->bijkh", q_blk * scale, k_blk)
-    s = s + bias[:, :, None]
-    a = jax.nn.softmax(s.astype(jnp.float32), axis=3)
-    a = a * jax.nn.sigmoid(gate.astype(jnp.float32))[:, :, None]
-    return jnp.einsum("bijkh,bjkdh->bijdh", a.astype(v_blk.dtype), v_blk)
+    # k-minor logits layout (see ops/triplet._triplet_attention_impl —
+    # measured 2.98x on TPU over the h-minor spelling)
+    s = jnp.einsum("bijdh,bjkdh->bijhk", q_blk * scale, k_blk)
+    s = s + jnp.swapaxes(bias, 2, 3)[:, :, None]
+    a = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+    if gate is not None:
+        a = a * jax.nn.sigmoid(
+            jnp.swapaxes(gate, 2, 3).astype(jnp.float32))[:, :, None]
+    return jnp.einsum("bijhk,bjkdh->bijdh", a.astype(v_blk.dtype), v_blk)
 
 
 def ring_triplet_direction(q_local: jnp.ndarray, k_local: jnp.ndarray,
@@ -94,10 +100,10 @@ def ring_triplet_direction(q_local: jnp.ndarray, k_local: jnp.ndarray,
         step, (k_local, v_local), jnp.arange(p))
 
     # out_blocks: (p, b, i_loc, j_blk, d, h) with global block index srcs[t];
-    # scatter back into j order. pvary marks the zeros as device-varying so
+    # scatter back into j order. pcast marks the zeros as device-varying so
     # the fori carry types match (the updates depend on axis_index).
-    out = jax.lax.pvary(jnp.zeros((b, i_loc, n, d, h), out_blocks.dtype),
-                        axis_name)
+    out = jax.lax.pcast(jnp.zeros((b, i_loc, n, d, h), out_blocks.dtype),
+                        axis_name, to="varying")
 
     def place(t, acc):
         blk = out_blocks[t]
@@ -110,8 +116,9 @@ def ring_triplet_direction(q_local: jnp.ndarray, k_local: jnp.ndarray,
 
 def triplet_attention_ring(params, e_local: jnp.ndarray,
                            mask_local: jnp.ndarray, *, num_heads: int,
+                           gated: bool = True,
                            axis_name: str = PAIR_AXIS) -> jnp.ndarray:
-    """Full gated triplet attention under pair-axis i-block sharding.
+    """Full gated/ungated triplet attention under pair-axis i-block sharding.
 
     e_local: (b, i_loc, N, W) — the edge channel sharded on the first node
     axis. mask_local: (b, i_loc, N, 1) additive. Must run inside shard_map
@@ -135,9 +142,13 @@ def triplet_attention_ring(params, e_local: jnp.ndarray,
 
     # ---- in direction -------------------------------------------------
     q, k, v = map(heads, jnp.split(linear(params["lin_QKV_in"], e_ln), 3, -1))
-    e_b, g_b = jnp.split(linear(params["lin_EG_in"], e_ln), 2, -1)
+    if gated:
+        e_b, g_b = jnp.split(linear(params["lin_EG_in"], e_ln), 2, -1)
+        gate = g_b + m3[..., None]
+    else:
+        e_b = linear(params["lin_E_in"], e_ln)
+        gate = None
     bias = e_b + m3[..., None]
-    gate = g_b + m3[..., None]
     # q rows are i-local with j columns ✓; k/v rows are j-local (the i axis
     # of e_local IS the j-row owner axis for K/V) ✓
     va_in = ring_triplet_direction(q, k, v, bias, gate, scale, axis_name)
@@ -149,13 +160,101 @@ def triplet_attention_ring(params, e_local: jnp.ndarray,
     # pair transpose is an all_to_all over the ring axis.
     q2, k2, v2 = map(heads, jnp.split(linear(params["lin_QKV_out"], e_ln),
                                       3, -1))
-    e_b2, g_b2 = jnp.split(linear(params["lin_EG_out"], e_ln), 2, -1)
+    if gated:
+        e_b2, g_b2 = jnp.split(linear(params["lin_EG_out"], e_ln), 2, -1)
+        gate2 = _pair_transpose_bias(g_b2 + m3[..., None], axis_name)
+    else:
+        e_b2 = linear(params["lin_E_out"], e_ln)
+        gate2 = None
     kt = _pair_transpose(k2, axis_name)
     vt = _pair_transpose(v2, axis_name)
     bias2 = _pair_transpose_bias(e_b2 + m3[..., None], axis_name)
-    gate2 = _pair_transpose_bias(g_b2 + m3[..., None], axis_name)
     va_out = ring_triplet_direction(q2, kt, vt, bias2, gate2, scale,
                                     axis_name)
+
+    va = jnp.concatenate([va_in, va_out], axis=-1).reshape(b, i_loc, n, 2 * w)
+    return linear(params["lin_O"], va)
+
+
+def ring_aggregate_direction(a_local: jnp.ndarray, v_local: jnp.ndarray,
+                             axis_name: str = PAIR_AXIS) -> jnp.ndarray:
+    """One triplet-AGGREGATE direction under i-block sharding.
+
+    out[i, j] = sum_k a[i, k, h] * v[j, k, d, h] — the attention weights are
+    N^2 and i-row-local; only the V j-blocks ring around.
+
+    a_local: (b, i_loc, N, h)     weights for local i rows (softmax*gate done)
+    v_local: (b, j_loc, N, d, h)  V rows owned by this device
+    Returns (b, i_loc, N, d, h): output rows for local i, all j.
+    """
+    p = jax.lax.axis_size(axis_name)
+    my = jax.lax.axis_index(axis_name)
+    b, i_loc, n, h = a_local.shape
+    j_blk, d = v_local.shape[1], v_local.shape[3]
+
+    def step(carry, t):
+        v_blk = carry
+        src = (my - t) % p
+        out_blk = jnp.einsum("bikh,bjkdh->bijdh", a_local, v_blk)
+        return ring_pass(v_blk, axis_name), (src, out_blk)
+
+    _, (srcs, out_blocks) = jax.lax.scan(step, v_local, jnp.arange(p))
+
+    out = jax.lax.pcast(jnp.zeros((b, i_loc, n, d, h), out_blocks.dtype),
+                        axis_name, to="varying")
+
+    def place(t, acc):
+        return jax.lax.dynamic_update_slice_in_dim(
+            acc, out_blocks[t], srcs[t] * j_blk, axis=2)
+
+    return jax.lax.fori_loop(0, p, place, out)
+
+
+def triplet_aggregate_ring(params, e_local: jnp.ndarray,
+                           mask_local: jnp.ndarray, *, num_heads: int,
+                           gated: bool = True,
+                           axis_name: str = PAIR_AXIS) -> jnp.ndarray:
+    """Gated/ungated triplet aggregation under pair-axis i-block sharding.
+
+    Semantics match ops/triplet.triplet_aggregate{,_ungated} for the gathered
+    result, including the gated variant's UNMASKED out-direction quirk
+    (reference lib/tgt/layers/triplet.py:63-64).
+    """
+    from tgt_tpu.ops.common import layernorm, linear
+
+    b, i_loc, n, w = e_local.shape
+    h = num_heads
+    d = w // h
+    e_ln = layernorm(params["tri_ln_e"], e_local)
+
+    v_in, v_out = jnp.split(linear(params["lin_V"], e_ln), 2, axis=-1)
+    v_in = v_in.reshape(b, i_loc, n, d, h)
+    v_out = v_out.reshape(b, i_loc, n, d, h)
+    if gated:
+        e_in, g_in, e_out, g_out = jnp.split(
+            linear(params["lin_EG"], e_ln), 4, axis=-1)
+    else:
+        e_in, e_out = jnp.split(linear(params["lin_E"], e_ln), 2, axis=-1)
+
+    # in direction: weights (i, k) are row-local
+    if gated:
+        a_in = jax.nn.softmax(e_in + mask_local, axis=2) \
+            * jax.nn.sigmoid(g_in + mask_local)
+    else:
+        a_in = jax.nn.softmax(e_in + mask_local, axis=2)
+    va_in = ring_aggregate_direction(a_in, v_in, axis_name)
+
+    # out direction: pair-transposed weights/V (all_to_all), then same ring.
+    e_out_t = _pair_transpose_bias(
+        e_out if gated else e_out + mask_local, axis_name)
+    if gated:
+        # reference quirk: out-direction softmax/gates NOT masked
+        a_out = jax.nn.softmax(e_out_t, axis=2) \
+            * jax.nn.sigmoid(_pair_transpose_bias(g_out, axis_name))
+    else:
+        a_out = jax.nn.softmax(e_out_t, axis=2)
+    v_out_t = _pair_transpose(v_out, axis_name)
+    va_out = ring_aggregate_direction(a_out, v_out_t, axis_name)
 
     va = jnp.concatenate([va_in, va_out], axis=-1).reshape(b, i_loc, n, 2 * w)
     return linear(params["lin_O"], va)
