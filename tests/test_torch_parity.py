@@ -158,3 +158,85 @@ def test_big_widths_parity():
     cfg = TGTConfig(node_width=96, edge_width=64, num_heads=8, model_height=2,
                     triplet_heads=4, num_dist_bins=16, upto_hop=16)
     run_parity("distance", TGT_Distance, cfg, "attention", n=12)
+
+
+@pytest.mark.parametrize("triplet_type,layer_multiplier",
+                         [("attention", 1), ("aggregate", 2)])
+def test_per_layer_activation_parity(triplet_type, layer_multiplier):
+    """Per-layer h/e must match the reference LAYER BY LAYER, not just at the
+    output (BASELINE.md row 3; reference layers hookable at encoder.py:79-90).
+    Covers both released architectures: TGT-At-style (attention, x1) and
+    TGT-Agx2-style (aggregate, x2 weight sharing)."""
+    cfg = CFG.replace(triplet_type=triplet_type,
+                      layer_multiplier=layer_multiplier)
+    kwargs = layer_kwargs(cfg, triplet_type)
+    kwargs["num_dist_bins"] = cfg.num_dist_bins
+    torch.manual_seed(0)
+    tmodel = TGT_Distance(**kwargs)
+    tmodel.eval()
+
+    t_caps = []
+
+    def hook(mod, inp, out):
+        t_caps.append((out["h"].detach().numpy(), out["e"].detach().numpy()))
+
+    for layer in tmodel.encoder.TGT_layers:
+        layer.register_forward_hook(hook)
+
+    state = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    init, apply = make_model("distance")
+    template = init(jax.random.PRNGKey(0), cfg)
+    params = convert_torch_state_dict(state, template, cfg)
+
+    batch = make_synthetic_batch(jax.random.PRNGKey(0), b=2, n=8, seed=7)
+    tb = to_torch_batch(batch)
+    with torch.no_grad():
+        tmodel(tb)
+
+    from tgt_tpu.models.embedding import embed_input_apply
+    from tgt_tpu.models.encoder import encoder_apply
+    ecfg = cfg.replace(node_ended=False, edge_ended=True)
+    g = embed_input_apply(params["input_embed"], batch, ecfg)
+    _, j_caps = encoder_apply(params["encoder"], g, ecfg,
+                              capture_intermediates=True)
+
+    assert len(t_caps) == len(j_caps) == \
+        cfg.model_height * cfg.layer_multiplier
+    for li, ((th, te), (jh, je)) in enumerate(zip(t_caps, j_caps)):
+        np.testing.assert_allclose(np.asarray(jh), th, atol=5e-4, rtol=1e-3,
+                                   err_msg=f"h mismatch at layer app {li}")
+        np.testing.assert_allclose(np.asarray(je), te, atol=5e-4, rtol=1e-3,
+                                   err_msg=f"e mismatch at layer app {li}")
+
+
+def test_indiv_config_parity():
+    """Per-layer config arrays (reference TGT_Encoder.IndivConfig,
+    encoder.py:25,54-56): layers with different triplet types/head counts
+    must match the reference module-for-module."""
+    from lib.tgt.encoder import TGT_Encoder
+
+    tri_types = ["aggregate", "attention", "aggregate"]
+    tri_heads = [2, 4, 2]
+    kwargs = layer_kwargs(CFG, None)
+    kwargs["triplet_type"] = TGT_Encoder.IndivConfig(tri_types)
+    kwargs["triplet_heads"] = TGT_Encoder.IndivConfig(tri_heads)
+    kwargs["num_dist_bins"] = CFG.num_dist_bins
+    torch.manual_seed(0)
+    tmodel = TGT_Distance(**kwargs)
+    tmodel.eval()
+    state = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    cfg = CFG.replace(triplet_type=tuple(tri_types),
+                      triplet_heads=tuple(tri_heads))
+    init, apply = make_model("distance")
+    template = init(jax.random.PRNGKey(0), cfg)
+    assert "indiv" in template["encoder"]
+    params = convert_torch_state_dict(state, template, cfg)
+
+    batch = make_synthetic_batch(jax.random.PRNGKey(0), b=2, n=8, seed=7)
+    tb = to_torch_batch(batch)
+    with torch.no_grad():
+        t_out = tmodel(tb)
+    j_out = jax.jit(functools.partial(apply, cfg=cfg))(params, batch)
+    np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(), atol=2e-4,
+                               rtol=1e-3)

@@ -121,6 +121,15 @@ def convert_torch_state_dict(state: Mapping[str, Array],
         elif top == "encoder":
             enc: Dict[str, Any] = {}
             h = cfg.model_height
+            if "indiv" in sub:
+                # per-layer IndivConfig layout: one (possibly heterogeneous)
+                # params dict per reference TGT_layers.{i}
+                enc["indiv"] = tuple(
+                    _convert_layer(state, f"encoder.TGT_layers.{i}",
+                                   sub["indiv"][i])
+                    for i in range(h))
+                out[top] = enc
+                continue
             if "layers" in sub:
                 # unstack template to get one inner layer's structure
                 one = jax.tree_util.tree_map(lambda x: x[0], sub["layers"])

@@ -4,11 +4,24 @@ Gathers the kwargs that the reference threads through TGT_Encoder/TGT_Layer
 (lib/tgt/encoder.py:27-49, lib/tgt/layers/layers.py:180-215) plus the
 embedding/head options (lib/models/pcqm/*.py). It is hashable so it can be a
 static argument to jit.
-"""
+
+Per-layer config arrays (the reference's TGT_Encoder.IndivConfig,
+encoder.py:25,54-56): any field in INDIV_FIELDS may be a TUPLE of length
+``model_height`` giving one value per layer. Per-layer heterogeneity forces
+the unrolled (non-scan) encoder path since layer params may differ in
+structure; widths stay uniform (residual streams must line up, as in the
+reference)."""
 from __future__ import annotations
 
 import dataclasses
 from typing import Tuple
+
+# fields that may be per-layer tuples (IndivConfig)
+INDIV_FIELDS = ("num_heads", "triplet_heads", "triplet_type",
+                "triplet_dropout", "activation", "scale_degree",
+                "node_ffn_multiplier", "edge_ffn_multiplier",
+                "source_dropout", "drop_path", "node_act_dropout",
+                "edge_act_dropout")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,10 +63,34 @@ class TGTConfig:
 
     @property
     def triplet_enabled(self) -> bool:
-        return self.triplet_heads > 0
+        th = self.triplet_heads
+        return max(th) > 0 if isinstance(th, tuple) else th > 0
+
+    @property
+    def has_indiv(self) -> bool:
+        """True if any field carries a per-layer tuple (IndivConfig)."""
+        return any(isinstance(getattr(self, f), tuple) for f in INDIV_FIELDS)
+
+    def layer_cfg(self, i: int) -> "TGTConfig":
+        """Scalar config for layer i: per-layer tuples pick their i-th entry
+        (reference get_layer_kwargs, encoder.py:51-56)."""
+        kw = {}
+        for f in INDIV_FIELDS:
+            v = getattr(self, f)
+            if isinstance(v, tuple):
+                if len(v) != self.model_height:
+                    raise ValueError(
+                        f"IndivConfig field {f} has {len(v)} entries for "
+                        f"{self.model_height} layers")
+                kw[f] = v[i]
+        return self.replace(**kw) if kw else self
 
     def drop_path_rate(self, i: int) -> float:
-        """Linear stochastic-depth ramp (reference: encoder.py:57-58)."""
+        """Linear stochastic-depth ramp (reference: encoder.py:57-58) —
+        unless drop_path is itself per-layer (IndivConfig), which bypasses
+        the ramp exactly as the reference does."""
+        if isinstance(self.drop_path, tuple):
+            return self.drop_path[i]
         if self.model_height <= 1:
             return 0.0
         return self.drop_path * i / (self.model_height - 1)
