@@ -87,3 +87,48 @@ class TestDistancePredictor:
         probs = p.predict(molecules(3))
         assert probs.shape[0] == 3
         np.testing.assert_allclose(probs, np.swapaxes(probs, 1, 2), atol=1e-5)
+
+
+class TestServingPipeline:
+    def test_size_sorted_batching_preserves_order(self):
+        """predict() groups by size internally but must return outputs in
+        input order: a deterministic (mc off via dropout-free cfg) model
+        gives the same per-molecule value regardless of request order."""
+        init, _ = make_model("gap")
+        params = init(jax.random.PRNGKey(0), CFG)
+        mols = molecules(k=9, seed=3)
+        pred = GapPredictor(params, CFG, mc_samples=1, batch_size=3,
+                            buckets=(12, 16), seed=0)
+        out = pred.predict(mols)
+        rev = GapPredictor(params, CFG, mc_samples=1, batch_size=3,
+                           buckets=(12, 16), seed=0).predict(mols[::-1])
+        # same molecule -> same size-bucket batch composition after sorting,
+        # so values must line up exactly when reversed back
+        np.testing.assert_allclose(rev[::-1], out, rtol=1e-5, atol=1e-6)
+
+    def test_warmup_compiles_all_buckets(self):
+        init, _ = make_model("gap")
+        params = init(jax.random.PRNGKey(0), CFG)
+        pred = GapPredictor(params, CFG, mc_samples=1, batch_size=2,
+                            buckets=(12, 16))
+        pred.warmup()  # must not raise, covers every bucket shape
+        gaps = pred.predict(molecules(k=3, seed=1))
+        assert gaps.shape == (3,) and np.all(np.isfinite(gaps))
+
+    def test_distance_mixed_buckets(self):
+        """Distance outputs from different buckets zero-pad to one array."""
+        init, _ = make_model("distance")
+        params = init(jax.random.PRNGKey(0), CFG)
+        rs = np.random.RandomState(0)
+        from tgt_tpu.data.synthetic import make_molecule
+        mols = []
+        for n in (4, 14):  # forces buckets 8 and 16
+            m = make_molecule(rs, n)
+            m["coords"] = m.pop("dft_coords")
+            m.pop("rdkit_coords"); m.pop("target")
+            mols.append(m)
+        pred = DistancePredictor(params, CFG, mc_samples=1, batch_size=1,
+                                 buckets=(8, 16))
+        out = pred.predict(mols)
+        assert out.shape[0] == 2 and out.shape[1] == 16
+        assert np.all(np.isfinite(out))

@@ -92,19 +92,72 @@ class _BasePredictor:
     def _feed_of(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         raise NotImplementedError
 
+    def warmup(self) -> None:
+        """Pre-compile every (bucket x batch_size) feed shape so the first
+        real request pays no compile latency (the serving analog of the
+        trainer's precompile_buckets / the reference's allocate_max_batch,
+        tgt_training.py:118-135)."""
+        for nb in self.buckets:
+            mol = {
+                "num_nodes": nb,
+                "edges": np.zeros((0, 2), np.int64),
+                "node_features": np.ones((nb, 9), np.int64),
+                "edge_features": np.zeros((0, 3), np.int64),
+            }
+            if self.cfg.embed_3d_type != "none":
+                mol["dist_input"] = np.zeros((nb, nb), np.float32)
+            self.predict([mol])
+
     def predict(self, molecules: List[Dict]) -> np.ndarray:
+        """Predict for a molecule batch of arbitrary size.
+
+        Latency design: molecules are grouped by size (so each device batch
+        collates to the smallest viable bucket — the serving analog of
+        size-bucketed training batches) and ALL batches dispatch before any
+        device->host fetch, so host-side collation of batch t+1 overlaps the
+        device computing batch t. Output order matches the input order.
+        """
         rows = self._prepare_rows(molecules)
-        outputs: List[np.ndarray] = []
-        for start in range(0, len(rows), self.batch_size):
-            chunk = rows[start:start + self.batch_size]
+        if not rows:
+            return np.zeros((0,), np.float32)
+        sizes = np.asarray([r["num_nodes"] for r in rows])
+        order = np.argsort(sizes, kind="stable")
+
+        pending = []
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start:start + self.batch_size]
+            chunk = [rows[i] for i in idx]
             batch = add_edge_mask(padded_collate(chunk, buckets=self.buckets))
             n_real = len(chunk)
             batch, _ = pad_batch_dim(batch, self.batch_size)
             feed = self._feed_of(batch)
             self._rng, sub = jax.random.split(self._rng)
-            out = np.asarray(self._jitted(self.params, feed, sub))
-            outputs.append(out[:n_real])
-        return np.concatenate(outputs, axis=0)
+            # async dispatch: don't block on the result here
+            pending.append((idx, self._jitted(self.params, feed, sub), n_real))
+
+        outs = [(idx, np.asarray(out)[:n_real])
+                for idx, out, n_real in pending]
+        # per-molecule node axes may differ across buckets; zero-pad to the
+        # largest before scattering back into input order
+        n_max = max((o.shape[1] for _, o in outs if o.ndim >= 2), default=0)
+        result = None
+        for idx, out in outs:
+            out = self._pad_nodes(out, n_max)
+            if result is None:
+                result = np.zeros((len(rows),) + out.shape[1:], out.dtype)
+            result[idx] = out
+        return result
+
+    @staticmethod
+    def _pad_nodes(out: np.ndarray, n_max: int) -> np.ndarray:
+        """Zero-pad per-node output axes (1 and, if square, 2) to n_max."""
+        if out.ndim < 2 or out.shape[1] >= n_max:
+            return out
+        pad = [(0, 0)] * out.ndim
+        pad[1] = (0, n_max - out.shape[1])
+        if out.ndim >= 3 and out.shape[2] == out.shape[1]:
+            pad[2] = (0, n_max - out.shape[2])
+        return np.pad(out, pad)
 
 
 class GapPredictor(_BasePredictor):
