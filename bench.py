@@ -106,6 +106,34 @@ def build(small: bool):
     return step, params, opt_state, bsz, n, pool
 
 
+# peak bf16 TFLOP/s per chip by device kind (public spec sheets)
+_PEAK_TFLOPS = (("v5 lite", 197.0), ("v5e", 197.0), ("v5p", 459.0),
+                ("v6e", 918.0), ("v6 lite", 918.0), ("v4", 275.0),
+                ("v3", 123.0))
+
+
+def peak_tflops(device) -> float:
+    kind = getattr(device, "device_kind", str(device)).lower()
+    for key, val in _PEAK_TFLOPS:
+        if key in kind:
+            return val
+    return 197.0  # default: v5e
+
+
+def compiled_flops(step, *example_args):
+    """FLOPs of the compiled train step from XLA's cost analysis (counts
+    what the device executes, including remat recompute). Returns None if
+    the backend doesn't expose it."""
+    try:
+        ca = step.lower(*example_args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = ca.get("flops")
+        return float(f) if f and f > 0 else None
+    except Exception:
+        return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
@@ -152,6 +180,16 @@ def main():
     graphs_per_s = steps_per_s * bsz
     pair_entries_per_s = graphs_per_s * n * n
 
+    # roofline accounting (VERDICT r1 #9): FLOPs of the compiled step vs the
+    # chip's peak -> achieved TFLOP/s and MFU
+    idx0 = jnp.asarray(rs.choice(pool, bsz, replace=False))
+    flops = compiled_flops(step, params, opt_state, idx0,
+                           jax.random.PRNGKey(0))
+    peak = peak_tflops(jax.devices()[0])
+    step_s = dt / args.steps
+    achieved_tflops = (flops / step_s / 1e12) if flops else None
+    mfu = (achieved_tflops / peak) if achieved_tflops else None
+
     result = {
         "metric": "graphs/sec/chip (TGT-At 102M train step, b=%d N=%d, bf16)"
                   % (bsz, n) if not args.small else
@@ -165,6 +203,11 @@ def main():
             "compile_s": round(compile_s, 1),
             "final_loss": round(loss_val, 4),
             "device": str(jax.devices()[0]),
+            "flops_per_step": flops,
+            "achieved_tflops": (round(achieved_tflops, 2)
+                                if achieved_tflops else None),
+            "peak_tflops_bf16": peak,
+            "mfu": round(mfu, 4) if mfu else None,
         },
     }
     print(json.dumps(result))
