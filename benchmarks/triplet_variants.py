@@ -32,6 +32,41 @@ def make_params(rng, w, h):
 
 
 def spell_v0(p, e, mask, *, num_heads):
+    """FROZEN round-1 h-minor (b,i,j,k,h) spelling — the historical baseline
+    (the production op has since moved to k-minor; keep this verbatim so the
+    comparison stays meaningful)."""
+    import jax
+    import jax.numpy as jnp
+    from tgt_tpu.ops.common import layernorm, linear
+
+    b, n, _, w = e.shape
+    h = num_heads
+    d = w // h
+    scale = d ** -0.5
+    e_ln = layernorm(p["tri_ln_e"], e)
+
+    def direction(which, transpose_kv):
+        q, k, v, e_b, g_b = _proj(p, e_ln, which, b, n, d, h, scale)
+        m = mask
+        if transpose_kv:
+            k = jnp.swapaxes(k, 1, 2)
+            v = jnp.swapaxes(v, 1, 2)
+            e_b = jnp.swapaxes(e_b, 1, 2)
+            g_b = jnp.swapaxes(g_b, 1, 2)
+            m = jnp.swapaxes(mask, 1, 2)
+        s = jnp.einsum("bijdh,bjkdh->bijkh", q, k) + (e_b + m)[:, :, None]
+        a = jax.nn.softmax(s, axis=3)
+        a = a * jax.nn.sigmoid(g_b + m)[:, :, None]
+        return jnp.einsum("bijkh,bjkdh->bijdh", a, v)
+
+    va_in = direction("in", False)
+    va_out = direction("out", True)
+    va = jnp.concatenate([va_in, va_out], axis=-1).reshape(b, n, n, w * 2)
+    return linear(p["lin_O"], va)
+
+
+def spell_prod(p, e, mask, *, num_heads):
+    """Whatever ops/triplet.py currently ships."""
     from tgt_tpu.ops.triplet import triplet_attention
     return triplet_attention(p, e, mask, num_heads=num_heads)
 
@@ -142,8 +177,49 @@ def spell_v3(p, e, mask, *, num_heads):
     return linear(p["lin_O"], va)
 
 
-SPELLS = {"v0_current": spell_v0, "v1_khminor": spell_v1,
-          "v2_stacked": spell_v2, "v3_stacked_khminor": spell_v3}
+def spell_v4(p, e, mask, *, num_heads):
+    """k-minor + lin_O split per direction: out = va_in·W_in + va_out·W_out
+    + b, contracting (d,h) straight out of the AV einsum — removes the
+    concat+reshape relayout copies the HLO forensics found hottest."""
+    import jax
+    import jax.numpy as jnp
+    from tgt_tpu.ops.common import layernorm, linear
+
+    b, n, _, w = e.shape
+    h = num_heads
+    d = w // h
+    scale = d ** -0.5
+    e_ln = layernorm(p["tri_ln_e"], e)
+
+    # lin_O consumes concat([va_in, va_out], axis=h).reshape(..., 2w):
+    # its rows are indexed (d, 2h) with h<num_heads -> in direction
+    w_o = p["lin_O"]["w"].reshape(d, 2 * h, w)
+    w_in = w_o[:, :h]
+    w_out = w_o[:, h:]
+
+    def direction(which, transpose_kv, w_dir):
+        q, k, v, e_b, g_b = _proj(p, e_ln, which, b, n, d, h, scale)
+        m = mask
+        if transpose_kv:
+            k = jnp.swapaxes(k, 1, 2)
+            v = jnp.swapaxes(v, 1, 2)
+            e_b = jnp.swapaxes(e_b, 1, 2)
+            g_b = jnp.swapaxes(g_b, 1, 2)
+            m = jnp.swapaxes(mask, 1, 2)
+        s = jnp.einsum("bijdh,bjkdh->bijhk", q, k)
+        bias = jnp.swapaxes(e_b + m, 2, 3)[:, :, None]
+        gate = jax.nn.sigmoid(jnp.swapaxes(g_b + m, 2, 3))[:, :, None]
+        a = jax.nn.softmax(s + bias, axis=-1) * gate
+        va = jnp.einsum("bijhk,bjkdh->bijdh", a, v)
+        return jnp.einsum("bijdh,dhw->bijw", va, w_dir)
+
+    out = direction("in", False, w_in) + direction("out", True, w_out)
+    return out + p["lin_O"]["b"]
+
+
+SPELLS = {"v0_hminor": spell_v0, "v1_khminor": spell_v1,
+          "v2_stacked": spell_v2, "v3_stacked_khminor": spell_v3,
+          "v4_split_linO": spell_v4, "prod": spell_prod}
 
 
 def main():
@@ -157,7 +233,7 @@ def main():
                     help="apply the op this many times per step (amortizes "
                          "dispatch overhead like the real 24-layer stack)")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
-    ap.add_argument("--variants", default=",".join(SPELLS))
+    ap.add_argument("--variants", default="v0_hminor,v1_khminor,v4_split_linO")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--hlo", action="store_true",
                     help="print compiled HLO op-name histogram per variant")
@@ -202,15 +278,26 @@ def main():
         val, _ = step(params, e_pool[0])
         val.block_until_ready()
         compile_s = time.time() - t0
-        # timed loop: vary inputs (tunnel caches identical executions)
-        t0 = time.time()
-        for i in range(args.steps):
-            val, g = step(params, e_pool[i % pool] * (1.0 + 1e-3 * i))
-        val.block_until_ready()
-        dt = (time.time() - t0) / args.steps * 1000
+
+        # Two timed passes, report the best: the FIRST timed pass of a fresh
+        # executable through the tunnel reads ~3x slow (observed v0=71ms /
+        # v1-when-first=69.6ms vs the same variants at ~22-24ms when timed
+        # later in the process) — warm each executable thoroughly before
+        # trusting a number.
+        passes = []
+        for p_i in range(2):
+            t0 = time.time()
+            for i in range(args.steps):
+                val, g = step(params, e_pool[i % pool]
+                              * (1.0 + 1e-3 * (i + p_i)))
+            val.block_until_ready()
+            passes.append((time.time() - t0) / args.steps * 1000)
+        dt = min(passes)
         results[name] = dt
-        print(f"{name}: {dt:.2f} ms/step (x{args.layers} layers, fwd+bwd), "
-              f"compile {compile_s:.0f}s", flush=True)
+        print(f"{name}: {dt:.2f} ms/step (passes: "
+              f"{', '.join(f'{p:.1f}' for p in passes)}) "
+              f"(x{args.layers} layers, fwd+bwd), compile {compile_s:.0f}s",
+              flush=True)
 
         if args.hlo:
             import collections
@@ -227,7 +314,7 @@ def main():
                         break
             print(f"  HLO ops: {dict(ops)}", flush=True)
 
-    base = results.get("v0_current")
+    base = results.get("v0_hminor")
     if base:
         for k, v in results.items():
             print(f"{k}: {base / v:.2f}x vs v0", flush=True)

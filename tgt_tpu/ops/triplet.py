@@ -34,6 +34,28 @@ from tgt_tpu.ops.common import (Params, dropout, layernorm, layernorm_init,
                                 linear, linear_init, siglin)
 
 
+def _lin_o_split(p: Dict[str, Params], va_in: jnp.ndarray,
+                 va_out: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Apply lin_O without materializing concat([va_in, va_out]).
+
+    lin_O's stored weight is (2*edge_width, out) consuming
+    ``concat([va_in, va_out], axis=h).reshape(..., 2*edge_width)`` — its rows
+    are indexed (d, 2h). Splitting it into per-direction (d, h, out) blocks
+    and contracting (d, h) straight out of each direction's aggregation
+    einsum removes the concat+reshape relayout copies that dominated the
+    N^3 path's copy time (HLO forensics: 18.9MB bf16[b,N,N,d,2h] copies at
+    the concat, benchmarks/layer_forensics.py). Bitwise-equivalent in f32
+    (pure reassociation; bf16 differs in rounding only).
+    """
+    d = va_in.shape[3]
+    w_o = p["lin_O"]["w"].astype(va_in.dtype)
+    out_dim = w_o.shape[1]
+    w_o = w_o.reshape(d, 2 * num_heads, out_dim)
+    return (jnp.einsum("bijdh,dhw->bijw", va_in, w_o[:, :num_heads])
+            + jnp.einsum("bijdh,dhw->bijw", va_out, w_o[:, num_heads:])
+            + p["lin_O"]["b"].astype(va_in.dtype))
+
+
 # ---------------------------------------------------------------------------
 # aggregate (gated / ungated) — O(N^3 * d) with N^2 logits
 # ---------------------------------------------------------------------------
@@ -85,8 +107,7 @@ def triplet_aggregate(p: Dict[str, Params], e: jnp.ndarray, mask: jnp.ndarray,
     va_out = jnp.einsum("bikh,bjkdh->bijdh", a_out,
                         jnp.swapaxes(v_out, 1, 2))
 
-    va = jnp.concatenate([va_in, va_out], axis=-1).reshape(b, n, n, w * 2)
-    return linear(p["lin_O"], va)
+    return _lin_o_split(p, va_in, va_out, num_heads)
 
 
 def triplet_aggregate_ungated(p: Dict[str, Params], e: jnp.ndarray,
@@ -118,8 +139,7 @@ def triplet_aggregate_ungated(p: Dict[str, Params], e: jnp.ndarray,
     va_out = jnp.einsum("bikh,bjkdh->bijdh", a_out,
                         jnp.swapaxes(v_out, 1, 2))
 
-    va = jnp.concatenate([va_in, va_out], axis=-1).reshape(b, n, n, w * 2)
-    return linear(p["lin_O"], va)
+    return _lin_o_split(p, va_in, va_out, num_heads)
 
 
 # ---------------------------------------------------------------------------
@@ -244,8 +264,7 @@ def _triplet_attention_impl(p, e, mask, *, num_heads, gated, attention_dropout,
     a_out = dropout(r_out, a_out, attention_dropout, deterministic)
     va_out = jnp.einsum("bijhk,bjkdh->bijdh", a_out, v_out)
 
-    va = jnp.concatenate([va_in, va_out], axis=-1).reshape(b, n, n, w * 2)
-    return linear(p["lin_O"], va)
+    return _lin_o_split(p, va_in, va_out, num_heads)
 
 
 def triplet_attention(p, e, mask, *, num_heads, attention_dropout=0.0,
@@ -310,8 +329,7 @@ def axial_attention(p, e, mask, *, num_heads, attention_dropout=0.0,
     a_out = dropout(r_out, a_out, attention_dropout, deterministic)
     va_out = jnp.einsum("bijhk,bjkdh->bijdh", a_out, v_out)
 
-    va = jnp.concatenate([va_in, va_out], axis=-1).reshape(b, n, n, w * 2)
-    return linear(p["lin_O"], va)
+    return _lin_o_split(p, va_in, va_out, num_heads)
 
 
 # ---------------------------------------------------------------------------
