@@ -169,11 +169,19 @@ def main():
     params, opt_state, loss = one(1)
     loss.block_until_ready()
 
-    t0 = time.time()
-    for i in range(args.steps):
-        params, opt_state, loss = one(i + 2)
-    loss.block_until_ready()
-    dt = time.time() - t0
+    # two timed passes, keep the best: the first executions of a fresh
+    # executable through the tunnel read slow (CLAUDE.md measurement rule);
+    # steady-state throughput is what the soak run confirms end-to-end
+    dts = []
+    k = 2
+    for _ in range(2):
+        t0 = time.time()
+        for i in range(args.steps):
+            params, opt_state, loss = one(k)
+            k += 1
+        loss.block_until_ready()
+        dts.append(time.time() - t0)
+    dt = min(dts)
     loss_val = float(loss)
 
     steps_per_s = args.steps / dt

@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--scan", action="store_true")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--policy", default="none",
+                    choices=["none", "dots", "tri_a"])
     ap.add_argument("--stochastic", action="store_true")
     ap.add_argument("--copies", action="store_true")
     ap.add_argument("--cpu", action="store_true")
@@ -72,7 +74,8 @@ def main():
                     model_height=args.layers, triplet_heads=16,
                     triplet_type="attention", source_dropout=0.3,
                     drop_path=0.2, node_act_dropout=0.1,
-                    edge_act_dropout=0.1, compute_dtype="bfloat16")
+                    edge_act_dropout=0.1, compute_dtype="bfloat16",
+                    remat_policy=args.policy)
     dt = jnp.bfloat16
     b, n = args.b, args.n
     rng = jax.random.PRNGKey(0)
@@ -91,6 +94,9 @@ def main():
                                drop_path_rate=0.1, deterministic=det,
                                rng=None if det else key)
 
+    from tgt_tpu.models.encoder import _remat_policy
+    policy = _remat_policy(cfg)
+
     def loss(ps, h, e, key):
         g = Graph(h=h, e=e, mask=mask, node_mask=jnp.ones((b, n), dt))
         keys = jax.random.split(key, args.layers)
@@ -100,12 +106,12 @@ def main():
                 out = layer(p, carry, k)
                 return out, None
             if args.remat:
-                body = jax.checkpoint(body)
+                body = jax.checkpoint(body, policy=policy)
             g, _ = jax.lax.scan(body, g, (ps, keys))
         else:
             fn = layer
             if args.remat:
-                fn = jax.checkpoint(fn)
+                fn = jax.checkpoint(fn, policy=policy)
             for i in range(args.layers):
                 p = jax.tree.map(lambda x, i=i: x[i], ps)
                 g = fn(p, g, keys[i])
@@ -118,13 +124,20 @@ def main():
     val.block_until_ready()
     print(f"compile {time.time()-t0:.0f}s "
           f"(scan={args.scan} remat={args.remat} stoch={args.stochastic})")
-    t0 = time.time()
-    for i in range(args.steps):
-        val, g = step(stacked, h0 * (1 + 1e-3 * i), e0 * (1 + 1e-3 * i),
-                      jax.random.PRNGKey(i))
-    val.block_until_ready()
-    ms = (time.time() - t0) / args.steps * 1000
-    print(f"{ms:.2f} ms/step for {args.layers} full TGT layers (fwd+bwd)"
+    # two timed passes, report min (first pass of a fresh executable reads
+    # ~3x slow through the tunnel — CLAUDE.md measurement rule)
+    passes = []
+    for p_i in range(2):
+        t0 = time.time()
+        for i in range(args.steps):
+            val, g = step(stacked, h0 * (1 + 1e-3 * (i + p_i)),
+                          e0 * (1 + 1e-3 * (i + p_i)), jax.random.PRNGKey(i))
+        val.block_until_ready()
+        passes.append((time.time() - t0) / args.steps * 1000)
+    ms = min(passes)
+    print(f"{ms:.2f} ms/step (passes: "
+          f"{', '.join(f'{p:.1f}' for p in passes)}) "
+          f"for {args.layers} full TGT layers (fwd+bwd)"
           f" -> {ms/args.layers:.2f} ms/layer")
     if args.copies:
         txt = step.lower(stacked, h0, e0,

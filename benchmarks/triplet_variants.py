@@ -217,9 +217,52 @@ def spell_v4(p, e, mask, *, num_heads):
     return out + p["lin_O"]["b"]
 
 
+def spell_v5(p, e, mask, *, num_heads):
+    """Native dot_general orders end-to-end: carry the N^3 logits as
+    (b,j,h,i,k) — exactly the order XLA's dot_general produces for
+    "bijdh,bjkdh" (batch dims (b,j,h) first, then lhs-free i, rhs-free k) —
+    so no transpose is inserted after QK, softmax, AV, or the split lin_O.
+    Both directions come out pair-transposed (b,j,i,w); one N^2-channel
+    transpose at the very end restores (b,i,j,w)."""
+    import jax
+    import jax.numpy as jnp
+    from tgt_tpu.ops.common import layernorm
+
+    b, n, _, w = e.shape
+    h = num_heads
+    d = w // h
+    scale = d ** -0.5
+    e_ln = layernorm(p["tri_ln_e"], e)
+
+    w_o = p["lin_O"]["w"].astype(e.dtype).reshape(d, 2 * h, w)
+    w_in = w_o[:, :h]
+    w_out = w_o[:, h:]
+
+    def direction(which, transpose_kv, w_dir):
+        q, k, v, e_b, g_b = _proj(p, e_ln, which, b, n, d, h, scale)
+        m = mask
+        if transpose_kv:
+            k = jnp.swapaxes(k, 1, 2)
+            v = jnp.swapaxes(v, 1, 2)
+            e_b = jnp.swapaxes(e_b, 1, 2)
+            g_b = jnp.swapaxes(g_b, 1, 2)
+            m = jnp.swapaxes(mask, 1, 2)
+        # bias/gate live on (b,i,k,h): bring to (b,1,h,i,k) — N^2, cheap
+        bias = jnp.transpose(e_b + m, (0, 3, 1, 2))[:, None]
+        gate = jax.nn.sigmoid(jnp.transpose(g_b + m, (0, 3, 1, 2)))[:, None]
+        s = jnp.einsum("bijdh,bjkdh->bjhik", q, k) + bias
+        a = jax.nn.softmax(s, axis=-1) * gate
+        va = jnp.einsum("bjhik,bjkdh->bjhid", a, v)
+        return jnp.einsum("bjhid,dhw->bjiw", va, w_dir)
+
+    out_t = direction("in", False, w_in) + direction("out", True, w_out)
+    return jnp.swapaxes(out_t, 1, 2) + p["lin_O"]["b"].astype(e.dtype)
+
+
 SPELLS = {"v0_hminor": spell_v0, "v1_khminor": spell_v1,
           "v2_stacked": spell_v2, "v3_stacked_khminor": spell_v3,
-          "v4_split_linO": spell_v4, "prod": spell_prod}
+          "v4_split_linO": spell_v4, "v5_native_dot": spell_v5,
+          "prod": spell_prod}
 
 
 def main():

@@ -143,6 +143,18 @@ def encoder_init(rng: jax.Array, cfg: TGTConfig) -> Dict[str, Any]:
     return params
 
 
+def _remat_policy(cfg: TGTConfig):
+    """Map cfg.remat_policy to a jax.checkpoint saveable-policy (None means
+    nothing saveable — classic full per-layer remat)."""
+    if cfg.remat_policy == "none":
+        return None
+    if cfg.remat_policy == "dots":
+        return jax.checkpoint_policies.dots_saveable
+    if cfg.remat_policy == "tri_a":
+        return jax.checkpoint_policies.save_only_these_names("tri_a")
+    raise ValueError(f"unknown remat_policy {cfg.remat_policy!r}")
+
+
 def encoder_apply(params: Dict[str, Any], g: Graph, cfg: TGTConfig,
                   *, deterministic: bool = True,
                   rng: Optional[jax.Array] = None,
@@ -193,7 +205,7 @@ def encoder_apply(params: Dict[str, Any], g: Graph, cfg: TGTConfig,
                 return g, None
 
             if cfg.remat:
-                body = jax.checkpoint(body)
+                body = jax.checkpoint(body, policy=_remat_policy(cfg))
             if has_keys:
                 xs = (params["layers"], dp_rates[:n_inner], layer_keys[:n_inner])
             else:
@@ -205,7 +217,8 @@ def encoder_apply(params: Dict[str, Any], g: Graph, cfg: TGTConfig,
                 rep_keys = None if layer_keys is None else layer_keys[i]
                 fn = apply_once
                 if cfg.remat:
-                    fn = jax.checkpoint(fn, static_argnums=(2, 5, 6))
+                    fn = jax.checkpoint(fn, static_argnums=(2, 5, 6),
+                                        policy=_remat_policy(cfg))
                 g = fn(layer_p, g, i, rep_keys, dp_rates[i], nu, eu)
 
     nu, eu = cfg.layer_updates(h_total - 1)

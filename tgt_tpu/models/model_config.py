@@ -58,6 +58,12 @@ class TGTConfig:
     # execution
     compute_dtype: str = "float32"    # 'float32' | 'bfloat16'
     remat: bool = False               # rematerialize each encoder layer
+    # what the per-layer checkpoint saves besides its inputs:
+    #   'none'  — nothing (full recompute, min memory)
+    #   'dots'  — every dot/einsum output (jax dots_saveable)
+    #   'tri_a' — the named N^3 gated-attention weights (ops/triplet.py),
+    #             skipping the softmax-chain recompute in backward
+    remat_policy: str = "none"
     use_scan: bool = True             # lax.scan over uniform layers
     use_pallas: bool = False          # fused Pallas kernels for hot ops
 

@@ -29,6 +29,7 @@ from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from tgt_tpu.ops.common import (Params, dropout, layernorm, layernorm_init,
                                 linear, linear_init, siglin)
@@ -237,6 +238,10 @@ def _triplet_attention_impl(p, e, mask, *, num_heads, gated, attention_dropout,
         a_in = a_in * jax.nn.sigmoid(
             jnp.swapaxes(g_b + mask, 2, 3))[:, :, None]
     a_in = dropout(r_in, a_in, attention_dropout, deterministic)
+    # named for selective rematerialization (cfg.remat_policy='tri_a'):
+    # saving the gated attention weights lets the backward pass reuse them
+    # instead of recomputing the N^3 softmax chain
+    a_in = checkpoint_name(a_in, "tri_a")
     va_in = jnp.einsum("bijhk,bjkdh->bijdh", a_in, v_in)
 
     # ---- "out" direction: softmax over k of logits indexed (k,i,j).
@@ -262,6 +267,7 @@ def _triplet_attention_impl(p, e, mask, *, num_heads, gated, attention_dropout,
             jnp.swapaxes(g_b2, 1, 2) + jnp.swapaxes(mask, 1, 2),
             2, 3))[:, :, None]
     a_out = dropout(r_out, a_out, attention_dropout, deterministic)
+    a_out = checkpoint_name(a_out, "tri_a")
     va_out = jnp.einsum("bijhk,bjkdh->bijdh", a_out, v_out)
 
     return _lin_o_split(p, va_in, va_out, num_heads)
