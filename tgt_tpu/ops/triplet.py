@@ -212,65 +212,58 @@ def _triplet_attention_impl(p, e, mask, *, num_heads, gated, attention_dropout,
     e_ln = layernorm(p["tri_ln_e"], e)
     r_in, r_out = (None, None) if deterministic else jax.random.split(rng)
 
-    # N^3 logits carried as (b, i, j, h, k) — k (the softmax axis) lives in
-    # the minor/lane dimension, so the softmax chain runs on densely packed
-    # lanes and matches the batched-dot operand layouts. Measured 2.98x over
-    # the h-minor (b,i,j,k,h) spelling on the isolated core (fwd+bwd, TPU
-    # v5e, b=8 N=48; benchmarks/triplet_variants.py), numerics identical.
+    # N^3 logits carried in XLA's NATIVE dot_general output order end-to-end:
+    # "bijdh,bjkdh->bjhik" puts batch dims (b,j,h) first, then lhs-free i,
+    # rhs-free k — exactly what the TPU batched-dot emitter produces — so no
+    # relayout copy is inserted after QK, softmax, AV, or the split lin_O.
+    # Both directions come out pair-transposed (b,j,i,w); ONE N^2-channel
+    # transpose at the very end restores (b,i,j,w). Measured 18.87 vs 19.68
+    # ms for the previous k-minor spelling on the isolated 4-layer core
+    # (fwd+bwd, TPU v5e, b=8 N=48; benchmarks/triplet_variants.py v5 vs v4),
+    # bitwise-equal numerics.
+    w_o = p["lin_O"]["w"].astype(e.dtype)
+    w_o = w_o.reshape(d, 2 * num_heads, w_o.shape[1])
 
-    # ---- "in" direction: for (i,j) attend over k via edges (j,k),
-    #      biased/gated by (i,k) -------------------------------------------
-    q_in, k_in, v_in = jnp.split(linear(p["lin_QKV_in"], e_ln), 3, axis=-1)
-    q_in = q_in.reshape(b, n, n, d, num_heads) * scale
-    k_in = k_in.reshape(b, n, n, d, num_heads)
-    v_in = v_in.reshape(b, n, n, d, num_heads)
+    def direction(which, r_dir, w_dir, transpose_pair):
+        # "in": for (i,j) attend over k via edges (j,k), biased/gated by
+        # (i,k). "out": same computation on pair-transposed K/V/bias/mask
+        # (bitwise-equal to the reference's direct bkijh form).
+        q, k, v = jnp.split(linear(p[f"lin_QKV_{which}"], e_ln), 3, axis=-1)
+        q = q.reshape(b, n, n, d, num_heads) * scale
+        k = k.reshape(b, n, n, d, num_heads)
+        v = v.reshape(b, n, n, d, num_heads)
+        if gated:
+            e_b, g_b = jnp.split(linear(p[f"lin_EG_{which}"], e_ln), 2, axis=-1)
+        else:
+            e_b = linear(p[f"lin_E_{which}"], e_ln)
+            g_b = None
+        m = mask
+        if transpose_pair:
+            k = jnp.swapaxes(k, 1, 2)
+            v = jnp.swapaxes(v, 1, 2)
+            e_b = jnp.swapaxes(e_b, 1, 2)
+            g_b = None if g_b is None else jnp.swapaxes(g_b, 1, 2)
+            m = jnp.swapaxes(mask, 1, 2)
+        # bias/gate live on (b,i,k,h): bring to (b,1,h,i,k) — N^2, cheap
+        s = jnp.einsum("bijdh,bjkdh->bjhik", q, k) \
+            + jnp.transpose(e_b + m, (0, 3, 1, 2))[:, None]
+        a = jax.nn.softmax(s, axis=-1)
+        if gated:
+            a = a * jax.nn.sigmoid(
+                jnp.transpose(g_b + m, (0, 3, 1, 2)))[:, None]
+        a = dropout(r_dir, a, attention_dropout, deterministic)
+        # named for selective rematerialization (cfg.remat_policy='tri_a'):
+        # saving the gated attention weights lets the backward pass reuse
+        # them instead of recomputing the N^3 softmax chain
+        a = checkpoint_name(a, "tri_a")
+        va = jnp.einsum("bjhik,bjkdh->bjhid", a, v)
+        # split lin_O: contract (d,h) straight out of this direction's
+        # aggregation (see _lin_o_split docstring for why no concat)
+        return jnp.einsum("bjhid,dhw->bjiw", va, w_dir)
 
-    if gated:
-        e_b, g_b = jnp.split(linear(p["lin_EG_in"], e_ln), 2, axis=-1)
-    else:
-        e_b = linear(p["lin_E_in"], e_ln)
-    # (b, i, k, h) + mask -> (b, i, 1, h, k)
-    bias_in = jnp.swapaxes(e_b + mask, 2, 3)[:, :, None]
-
-    h_in = jnp.einsum("bijdh,bjkdh->bijhk", q_in, k_in) + bias_in
-    a_in = jax.nn.softmax(h_in, axis=-1)
-    if gated:
-        a_in = a_in * jax.nn.sigmoid(
-            jnp.swapaxes(g_b + mask, 2, 3))[:, :, None]
-    a_in = dropout(r_in, a_in, attention_dropout, deterministic)
-    # named for selective rematerialization (cfg.remat_policy='tri_a'):
-    # saving the gated attention weights lets the backward pass reuse them
-    # instead of recomputing the N^3 softmax chain
-    a_in = checkpoint_name(a_in, "tri_a")
-    va_in = jnp.einsum("bijhk,bjkdh->bijdh", a_in, v_in)
-
-    # ---- "out" direction: softmax over k of logits indexed (k,i,j).
-    # Computed as the in-direction with pair-transposed K/V/bias — the
-    # uniform einsum pattern avoids XLA layout churn (measured 1.6x on this
-    # core on TPU, bitwise-equal to the direct bkijh form). ------------------
-    q_out, k_out, v_out = jnp.split(linear(p["lin_QKV_out"], e_ln), 3, axis=-1)
-    q_out = q_out.reshape(b, n, n, d, num_heads) * scale
-    k_out = jnp.swapaxes(k_out.reshape(b, n, n, d, num_heads), 1, 2)
-    v_out = jnp.swapaxes(v_out.reshape(b, n, n, d, num_heads), 1, 2)
-
-    if gated:
-        e_b2, g_b2 = jnp.split(linear(p["lin_EG_out"], e_ln), 2, axis=-1)
-    else:
-        e_b2 = linear(p["lin_E_out"], e_ln)
-    bias_out = jnp.swapaxes(jnp.swapaxes(e_b2, 1, 2)
-                            + jnp.swapaxes(mask, 1, 2), 2, 3)[:, :, None]
-
-    h_out = jnp.einsum("bijdh,bjkdh->bijhk", q_out, k_out) + bias_out
-    a_out = jax.nn.softmax(h_out, axis=-1)
-    if gated:
-        a_out = a_out * jax.nn.sigmoid(jnp.swapaxes(
-            jnp.swapaxes(g_b2, 1, 2) + jnp.swapaxes(mask, 1, 2),
-            2, 3))[:, :, None]
-    a_out = dropout(r_out, a_out, attention_dropout, deterministic)
-    a_out = checkpoint_name(a_out, "tri_a")
-    va_out = jnp.einsum("bijhk,bjkdh->bijdh", a_out, v_out)
-
-    return _lin_o_split(p, va_in, va_out, num_heads)
+    out_t = (direction("in", r_in, w_o[:, :num_heads], False)
+             + direction("out", r_out, w_o[:, num_heads:], True))
+    return jnp.swapaxes(out_t, 1, 2) + p["lin_O"]["b"].astype(e.dtype)
 
 
 def triplet_attention(p, e, mask, *, num_heads, attention_dropout=0.0,
@@ -311,31 +304,31 @@ def axial_attention(p, e, mask, *, num_heads, attention_dropout=0.0,
     e_ln = layernorm(p["tri_ln_e"], e)
     r_in, r_out = (None, None) if deterministic else jax.random.split(rng)
 
-    q_in, k_in, v_in = jnp.split(linear(p["lin_QKV_in"], e_ln), 3, axis=-1)
-    q_in = q_in.reshape(b, n, n, d, num_heads) * scale
-    k_in = k_in.reshape(b, n, n, d, num_heads)
-    v_in = v_in.reshape(b, n, n, d, num_heads)
+    # native dot-order (b,j,h,i,k) logits layout, see _triplet_attention_impl
+    w_o = p["lin_O"]["w"].astype(e.dtype)
+    w_o = w_o.reshape(d, 2 * num_heads, w_o.shape[1])
 
-    # k-minor logits layout, see _triplet_attention_impl
-    mask_in = jnp.swapaxes(mask, 2, 3)[:, :, None]       # (b, i, 1, 1, k)
-    h_in = jnp.einsum("bijdh,bjkdh->bijhk", q_in, k_in)
-    a_in = jax.nn.softmax(h_in + mask_in, axis=-1)
-    a_in = dropout(r_in, a_in, attention_dropout, deterministic)
-    va_in = jnp.einsum("bijhk,bjkdh->bijdh", a_in, v_in)
+    def direction(which, r_dir, w_dir, transpose_pair):
+        q, k, v = jnp.split(linear(p[f"lin_QKV_{which}"], e_ln), 3, axis=-1)
+        q = q.reshape(b, n, n, d, num_heads) * scale
+        k = k.reshape(b, n, n, d, num_heads)
+        v = v.reshape(b, n, n, d, num_heads)
+        m = mask
+        if transpose_pair:
+            k = jnp.swapaxes(k, 1, 2)
+            v = jnp.swapaxes(v, 1, 2)
+            m = jnp.swapaxes(mask, 1, 2)
+        # mask (b,i,k,1) -> (b,1,1,i,k), broadcast over (j,h)
+        s = jnp.einsum("bijdh,bjkdh->bjhik", q, k) \
+            + jnp.transpose(m, (0, 3, 1, 2))[:, None]
+        a = jax.nn.softmax(s, axis=-1)
+        a = dropout(r_dir, a, attention_dropout, deterministic)
+        va = jnp.einsum("bjhik,bjkdh->bjhid", a, v)
+        return jnp.einsum("bjhid,dhw->bjiw", va, w_dir)
 
-    q_out, k_out, v_out = jnp.split(linear(p["lin_QKV_out"], e_ln), 3, axis=-1)
-    q_out = q_out.reshape(b, n, n, d, num_heads) * scale
-    k_out = jnp.swapaxes(k_out.reshape(b, n, n, d, num_heads), 1, 2)
-    v_out = jnp.swapaxes(v_out.reshape(b, n, n, d, num_heads), 1, 2)
-
-    # out-direction via pair-transposed operands (see triplet_attention)
-    mask_out = jnp.swapaxes(jnp.swapaxes(mask, 1, 2), 2, 3)[:, :, None]
-    h_out = jnp.einsum("bijdh,bjkdh->bijhk", q_out, k_out)
-    a_out = jax.nn.softmax(h_out + mask_out, axis=-1)
-    a_out = dropout(r_out, a_out, attention_dropout, deterministic)
-    va_out = jnp.einsum("bijhk,bjkdh->bijdh", a_out, v_out)
-
-    return _lin_o_split(p, va_in, va_out, num_heads)
+    out_t = (direction("in", r_in, w_o[:, :num_heads], False)
+             + direction("out", r_out, w_o[:, num_heads:], True))
+    return jnp.swapaxes(out_t, 1, 2) + p["lin_O"]["b"].astype(e.dtype)
 
 
 # ---------------------------------------------------------------------------
