@@ -35,26 +35,15 @@ from tgt_tpu.ops.common import (Params, dropout, layernorm, layernorm_init,
                                 linear, linear_init, siglin)
 
 
-def _lin_o_split(p: Dict[str, Params], va_in: jnp.ndarray,
-                 va_out: jnp.ndarray, num_heads: int) -> jnp.ndarray:
-    """Apply lin_O without materializing concat([va_in, va_out]).
-
-    lin_O's stored weight is (2*edge_width, out) consuming
-    ``concat([va_in, va_out], axis=h).reshape(..., 2*edge_width)`` — its rows
-    are indexed (d, 2h). Splitting it into per-direction (d, h, out) blocks
-    and contracting (d, h) straight out of each direction's aggregation
-    einsum removes the concat+reshape relayout copies that dominated the
-    N^3 path's copy time (HLO forensics: 18.9MB bf16[b,N,N,d,2h] copies at
-    the concat, benchmarks/layer_forensics.py). Bitwise-equivalent in f32
-    (pure reassociation; bf16 differs in rounding only).
-    """
-    d = va_in.shape[3]
-    w_o = p["lin_O"]["w"].astype(va_in.dtype)
-    out_dim = w_o.shape[1]
-    w_o = w_o.reshape(d, 2 * num_heads, out_dim)
-    return (jnp.einsum("bijdh,dhw->bijw", va_in, w_o[:, :num_heads])
-            + jnp.einsum("bijdh,dhw->bijw", va_out, w_o[:, num_heads:])
-            + p["lin_O"]["b"].astype(va_in.dtype))
+# NOTE on the SPLIT lin_O used throughout this module: lin_O's stored weight
+# is (2*edge_width, out) consuming ``concat([va_in, va_out],
+# axis=h).reshape(..., 2*edge_width)`` — its rows are indexed (d, 2h).
+# Splitting it into per-direction (d, h, out) blocks and contracting (d, h)
+# straight out of each direction's aggregation einsum removes the
+# concat+reshape relayout copies that dominated the N^3 path's copy time
+# (HLO forensics: 18.9MB bf16[b,N,N,d,2h] copies at the concat,
+# benchmarks/layer_forensics.py). Bitwise-equivalent in f32 (pure
+# reassociation; bf16 differs in rounding only).
 
 
 # ---------------------------------------------------------------------------
@@ -80,7 +69,17 @@ def triplet_aggregate(p: Dict[str, Params], e: jnp.ndarray, mask: jnp.ndarray,
                       *, num_heads: int, attention_dropout: float = 0.0,
                       deterministic: bool = True,
                       rng: Optional[jax.Array] = None) -> jnp.ndarray:
-    """Gated triplet aggregation (reference: triplet.py:22-73)."""
+    """Gated triplet aggregation (reference: triplet.py:22-73).
+
+    Carried in XLA's NATIVE dot_general order end-to-end: the attention map
+    lives in (b,h,i,k) (softmax over the LANE axis k), the aggregation
+    "bhik,bjkdh->bhijd" has batch dims (b,h) exactly as the TPU batched-dot
+    emitter produces, and the split lin_O contraction "bhijd,dhw->bijw"
+    lands directly in the output order — no relayout copy anywhere on the
+    N^3 path and no final transpose. Measured 1.23x on the isolated 4-layer
+    core (7.44 -> 6.06 ms fwd+bwd, TPU v5e, b=8 N=48;
+    benchmarks/aggregate_variants.py); pure reassociation (f32 max err 6e-8).
+    """
     b, n, _, w = e.shape
     d = w // num_heads
     e_ln = layernorm(p["tri_ln_e"], e)
@@ -93,22 +92,29 @@ def triplet_aggregate(p: Dict[str, Params], e: jnp.ndarray, mask: jnp.ndarray,
 
     r_in, r_out = (None, None) if deterministic else jax.random.split(rng)
 
-    gates_in = jax.nn.sigmoid(g_in + mask)
-    a_in = jax.nn.softmax(e_in + mask, axis=2) * gates_in
-    a_in = dropout(r_in, a_in, attention_dropout, deterministic)
-    va_in = jnp.einsum("bikh,bjkdh->bijdh", a_in, v_in)
+    w_o = p["lin_O"]["w"].astype(e.dtype)
+    w_o = w_o.reshape(d, 2 * num_heads, w_o.shape[1])
 
-    # out-direction == in-direction with pair-transposed bias/gate/V — the
-    # uniform einsum pattern avoids XLA layout churn (measured 1.6x on the
-    # triplet core, bitwise-equal). NOTE: deliberately unmasked (reference
-    # quirk, see module doc).
-    gates_out = jax.nn.sigmoid(jnp.swapaxes(g_out, 1, 2))
-    a_out = jax.nn.softmax(jnp.swapaxes(e_out, 1, 2), axis=2) * gates_out
-    a_out = dropout(r_out, a_out, attention_dropout, deterministic)
-    va_out = jnp.einsum("bikh,bjkdh->bijdh", a_out,
-                        jnp.swapaxes(v_out, 1, 2))
+    def direction(e_l, g_l, v, r_dir, w_dir, transpose_pair, masked):
+        if transpose_pair:
+            # (b,i,k,h) -> (b,h,i,k) AND pair-transpose (k,i)->(i,k) in one
+            # permute; V pair-transposed to match
+            perm = (0, 3, 2, 1)
+            v = jnp.swapaxes(v, 1, 2)
+        else:
+            perm = (0, 3, 1, 2)
+        m = jnp.transpose(mask, perm) if masked else 0.0
+        a = jax.nn.softmax(jnp.transpose(e_l, perm) + m, axis=-1)
+        a = a * jax.nn.sigmoid(jnp.transpose(g_l, perm) + m)
+        a = dropout(r_dir, a, attention_dropout, deterministic)
+        va = jnp.einsum("bhik,bjkdh->bhijd", a, v)
+        return jnp.einsum("bhijd,dhw->bijw", va, w_dir)
 
-    return _lin_o_split(p, va_in, va_out, num_heads)
+    # out-direction deliberately unmasked (reference quirk, see module doc)
+    out = (direction(e_in, g_in, v_in, r_in, w_o[:, :num_heads], False, True)
+           + direction(e_out, g_out, v_out, r_out, w_o[:, num_heads:],
+                       True, False))
+    return out + p["lin_O"]["b"].astype(e.dtype)
 
 
 def triplet_aggregate_ungated(p: Dict[str, Params], e: jnp.ndarray,
@@ -117,7 +123,8 @@ def triplet_aggregate_ungated(p: Dict[str, Params], e: jnp.ndarray,
                               deterministic: bool = True,
                               rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """Ungated triplet aggregation (reference: triplet.py:77-127) — both
-    directions masked here, unlike the gated variant."""
+    directions masked here, unlike the gated variant. Same native dot-order
+    layout as :func:`triplet_aggregate` (see its docstring)."""
     b, n, _, w = e.shape
     d = w // num_heads
     e_ln = layernorm(p["tri_ln_e"], e)
@@ -130,17 +137,24 @@ def triplet_aggregate_ungated(p: Dict[str, Params], e: jnp.ndarray,
 
     r_in, r_out = (None, None) if deterministic else jax.random.split(rng)
 
-    a_in = jax.nn.softmax(e_in + mask, axis=2)
-    a_in = dropout(r_in, a_in, attention_dropout, deterministic)
-    va_in = jnp.einsum("bikh,bjkdh->bijdh", a_in, v_in)
+    w_o = p["lin_O"]["w"].astype(e.dtype)
+    w_o = w_o.reshape(d, 2 * num_heads, w_o.shape[1])
 
-    # out-direction via pair-transposed operands (uniform einsum pattern)
-    a_out = jax.nn.softmax(jnp.swapaxes(e_out + mask, 1, 2), axis=2)
-    a_out = dropout(r_out, a_out, attention_dropout, deterministic)
-    va_out = jnp.einsum("bikh,bjkdh->bijdh", a_out,
-                        jnp.swapaxes(v_out, 1, 2))
+    def direction(e_l, v, r_dir, w_dir, transpose_pair):
+        if transpose_pair:
+            perm = (0, 3, 2, 1)
+            v = jnp.swapaxes(v, 1, 2)
+        else:
+            perm = (0, 3, 1, 2)
+        a = jax.nn.softmax(jnp.transpose(e_l, perm)
+                           + jnp.transpose(mask, perm), axis=-1)
+        a = dropout(r_dir, a, attention_dropout, deterministic)
+        va = jnp.einsum("bhik,bjkdh->bhijd", a, v)
+        return jnp.einsum("bhijd,dhw->bijw", va, w_dir)
 
-    return _lin_o_split(p, va_in, va_out, num_heads)
+    out = (direction(e_in, v_in, r_in, w_o[:, :num_heads], False)
+           + direction(e_out, v_out, r_out, w_o[:, num_heads:], True))
+    return out + p["lin_O"]["b"].astype(e.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -258,7 +272,7 @@ def _triplet_attention_impl(p, e, mask, *, num_heads, gated, attention_dropout,
         a = checkpoint_name(a, "tri_a")
         va = jnp.einsum("bjhik,bjkdh->bjhid", a, v)
         # split lin_O: contract (d,h) straight out of this direction's
-        # aggregation (see _lin_o_split docstring for why no concat)
+        # aggregation (see the SPLIT lin_O note at the top of this module)
         return jnp.einsum("bjhid,dhw->bjiw", va, w_dir)
 
     out_t = (direction("in", r_in, w_o[:, :num_heads], False)
