@@ -259,9 +259,51 @@ def spell_v5(p, e, mask, *, num_heads):
     return jnp.swapaxes(out_t, 1, 2) + p["lin_O"]["b"].astype(e.dtype)
 
 
+def spell_v6(p, e, mask, *, num_heads):
+    """v5 + pair-transposes folded into the einsum SUBSCRIPTS: the out
+    direction reads k/v as "bkjdh" directly instead of materializing
+    swapaxes(k/v, 1, 2) (two 9.4MB relayout copies per layer in v5's HLO,
+    benchmarks/layer_forensics.py), and bias/gate use one composed perm
+    (0,3,2,1). Lets XLA's layout assignment fold the transpose into the
+    operand layout it was going to pick anyway."""
+    import jax
+    import jax.numpy as jnp
+    from tgt_tpu.ops.common import layernorm
+
+    b, n, _, w = e.shape
+    h = num_heads
+    d = w // h
+    scale = d ** -0.5
+    e_ln = layernorm(p["tri_ln_e"], e)
+
+    w_o = p["lin_O"]["w"].astype(e.dtype).reshape(d, 2 * h, w)
+
+    def direction(which, transpose_pair, w_dir):
+        q, k, v, e_b, g_b = _proj(p, e_ln, which, b, n, d, h, scale)
+        if transpose_pair:
+            perm = (0, 3, 2, 1)     # (b,i,k,h) -> (b,h,i,k) + pair-swap
+            qk, av = "bijdh,bkjdh->bjhik", "bjhik,bkjdh->bjhid"
+            m = jnp.transpose(mask, perm)
+        else:
+            perm = (0, 3, 1, 2)
+            qk, av = "bijdh,bjkdh->bjhik", "bjhik,bjkdh->bjhid"
+            m = jnp.transpose(mask, perm)
+        bias = (jnp.transpose(e_b, perm) + m)[:, None]
+        gate = jax.nn.sigmoid(jnp.transpose(g_b, perm) + m)[:, None]
+        s = jnp.einsum(qk, q, k) + bias
+        a = jax.nn.softmax(s, axis=-1) * gate
+        va = jnp.einsum(av, a, v)
+        return jnp.einsum("bjhid,dhw->bjiw", va, w_dir)
+
+    out_t = (direction("in", False, w_o[:, :h])
+             + direction("out", True, w_o[:, h:]))
+    return jnp.swapaxes(out_t, 1, 2) + p["lin_O"]["b"].astype(e.dtype)
+
+
 SPELLS = {"v0_hminor": spell_v0, "v1_khminor": spell_v1,
           "v2_stacked": spell_v2, "v3_stacked_khminor": spell_v3,
           "v4_split_linO": spell_v4, "v5_native_dot": spell_v5,
+          "v6_folded_T": spell_v6,
           "prod": spell_prod}
 
 

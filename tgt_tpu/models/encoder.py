@@ -175,7 +175,10 @@ def encoder_apply(params: Dict[str, Any], g: Graph, cfg: TGTConfig,
         layer_keys = None
     else:
         layer_keys = jax.random.split(rng, h_total * cfg.layer_multiplier)
-        layer_keys = layer_keys.reshape(h_total, cfg.layer_multiplier, -1)
+        # trailing dims differ by key flavour: raw threefry keys are
+        # uint32[n,2], typed keys (e.g. rbg, Trainer cfg.rng_impl) are key[n]
+        layer_keys = layer_keys.reshape(
+            h_total, cfg.layer_multiplier, *layer_keys.shape[1:])
 
     dp_rates = jnp.asarray([cfg.drop_path_rate(i) for i in range(h_total)],
                            jnp.float32)
@@ -238,7 +241,8 @@ def _encoder_apply_unrolled(params: Dict[str, Any], g: Graph, cfg: TGTConfig,
         layer_keys = None
     else:
         layer_keys = jax.random.split(rng, h_total * cfg.layer_multiplier)
-        layer_keys = layer_keys.reshape(h_total, cfg.layer_multiplier, -1)
+        layer_keys = layer_keys.reshape(
+            h_total, cfg.layer_multiplier, *layer_keys.shape[1:])
     captures = []
     for i in range(h_total):
         if "indiv" in params:

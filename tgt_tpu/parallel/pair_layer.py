@@ -182,7 +182,8 @@ def encoder_pair_sharded(params: Dict[str, Any], h: jnp.ndarray,
         layer_keys = None
     else:
         layer_keys = jax.random.split(rng, h_total * cfg.layer_multiplier)
-        layer_keys = layer_keys.reshape(h_total, cfg.layer_multiplier, -1)
+        layer_keys = layer_keys.reshape(
+            h_total, cfg.layer_multiplier, *layer_keys.shape[1:])
         # same keys on every device (see tgt_layer_pair_sharded); mark
         # varying so they can enter the scan carry/xs uniformly
         layer_keys = jax.lax.pcast(layer_keys, axis_name, to="varying")

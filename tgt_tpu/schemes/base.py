@@ -114,6 +114,11 @@ def default_scheme_config() -> Config:
         # edge-block partitioning of the pair tensors (SURVEY.md §5.7)
         use_mesh=True,
         num_pair_devices=1,
+        # training-time PRNG: 'rbg' = XLA counter-based RngBitGenerator
+        # (~free on TPU; threefry dropout-mask generation costs ~10 ms/step
+        # at flagship scale — see Trainer._make_key). 'threefry' for exact
+        # cross-backend reproducibility.
+        rng_impl="rbg",
         # optimizer / schedule
         optimizer="adam",
         max_lr=5e-4,

@@ -190,6 +190,20 @@ class Trainer:
             device_batch = {k: pad_rows(v) for k, v in device_batch.items()}
         return make_global_batch(self.mesh, device_batch, self.num_pair)
 
+    def _make_key(self, seed: int) -> jax.Array:
+        """Root PRNG key honouring cfg.rng_impl.
+
+        'rbg' (default) uses XLA's counter-based RngBitGenerator — on TPU the
+        threefry2x32 default costs ~10 ms/step at flagship scale generating
+        per-layer dropout masks (measured 26.34 -> 24.32 ms on the 4-layer
+        stochastic stack, benchmarks/layer_forensics.py) while rbg is ~free.
+        Reproducible for a fixed backend+compiler; set rng_impl='threefry'
+        for exact cross-backend reproducibility. Typed keys are used so the
+        impl tag survives fold_in/split inside the jitted step; keys never
+        enter checkpoints (they are re-derived from global_step)."""
+        impl = getattr(self.cfg, "rng_impl", "rbg") or "rbg"
+        return jax.random.key(seed, impl=impl)
+
     def _put_repl(self, x):
         """Scalar step inputs (step index, rng, lr scale) as replicated
         global arrays so the sharded jit accepts them in multi-process."""
@@ -354,7 +368,7 @@ class Trainer:
             db = self.shard_device_batch(self.scheme.device_batch(fake))
             self._train_step.lower(
                 state, db, self._put_repl(jnp.asarray(0, jnp.int32)),
-                self._put_repl(jax.random.PRNGKey(0)),
+                self._put_repl(self._make_key(0)),
                 self._put_repl(jnp.asarray(1.0, jnp.float32))).compile()
             if self.is_main:
                 print(f"precompiled bucket {bucket}", flush=True)
@@ -403,7 +417,7 @@ class Trainer:
             # NOTE: under the global mesh the per-step rng is shared by all
             # ranks (the batch is one global array; dropout masks derive from
             # positions, not ranks)
-            rng = jax.random.fold_in(jax.random.PRNGKey(
+            rng = jax.random.fold_in(self._make_key(
                 getattr(self.cfg, "random_seed", 0) or 0),
                 self.global_step if self.mesh is not None
                 else self.global_step * self.world_size + self.rank)
@@ -442,7 +456,7 @@ class Trainer:
             device_batch = self.scheme.device_batch(batch, training=False)
             if use_mesh:
                 device_batch = self.shard_device_batch(device_batch)
-            rng = jax.random.fold_in(jax.random.PRNGKey(seed + 1000), i)
+            rng = jax.random.fold_in(self._make_key(seed + 1000), i)
             out = self._eval_step(params, device_batch, rng)
             out = {k: np.asarray(v) for k, v in out.items()}
             if "valid_samples" in out and np.all(out["valid_samples"] == 0):
@@ -462,7 +476,7 @@ class Trainer:
     def fit(self, num_epochs: Optional[int] = None) -> Dict[str, Any]:
         cfg = self.cfg
         num_epochs = num_epochs or getattr(cfg, "num_epochs", 1)
-        rng = jax.random.PRNGKey(getattr(cfg, "random_seed", 0) or 0)
+        rng = jax.random.PRNGKey(getattr(cfg, "random_seed", 0) or 0)  # param init stays threefry (checkpoint/golden parity)
         state = self.load_or_init(rng)
 
         if self.is_main:
