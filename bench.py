@@ -102,7 +102,13 @@ def build(small: bool):
         new_params = jax.tree.map(lambda p, u: p + u, params, updates)
         return new_params, new_opt, loss
 
-    step = jax.jit(train_step, donate_argnums=(0, 1))
+    # TGT_COMPILER_OPTIONS='{"xla_tpu_scoped_vmem_limit_kib": 65536}' — XLA
+    # compile-option overrides for perf sweeps (client XLA_FLAGS never reach
+    # the server-side compiler through the tunnel; compiler_options do)
+    copts = os.environ.get("TGT_COMPILER_OPTIONS")
+    copts = json.loads(copts) if copts else None
+    step = jax.jit(train_step, donate_argnums=(0, 1),
+                   compiler_options=copts)
     return step, params, opt_state, bsz, n, pool
 
 

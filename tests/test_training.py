@@ -199,6 +199,17 @@ class TestReproducibility:
         assert h1[0]["loss"] == h2[0]["loss"]
         assert h1[0]["val_loss"] == h2[0]["val_loss"]
 
+    @pytest.mark.parametrize("impl", ["rbg", "threefry"])
+    def test_rng_impl_trains_finite(self, tmp_path, impl):
+        # cfg.rng_impl: 'rbg' (default, counter-based, ~free on TPU) and
+        # 'threefry' (cross-backend reproducible) must both drive the typed-
+        # key path through the encoder (dropout/drop-path per layer rep)
+        h = make_trainer(PretrainScheme, tmp_path, f"rng_{impl}",
+                         rng_impl=impl, triplet_dropout=0.1,
+                         layer_multiplier=2,
+                         node_act_dropout=0.1)[1].fit(num_epochs=1)["history"]
+        assert np.isfinite(h[0]["loss"])
+
 
 class TestPlateauController:
     def test_reduces_and_stops(self):

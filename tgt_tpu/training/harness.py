@@ -202,6 +202,8 @@ class Trainer:
         impl tag survives fold_in/split inside the jitted step; keys never
         enter checkpoints (they are re-derived from global_step)."""
         impl = getattr(self.cfg, "rng_impl", "rbg") or "rbg"
+        if impl == "threefry":        # config-friendly alias
+            impl = "threefry2x32"
         return jax.random.key(seed, impl=impl)
 
     def _put_repl(self, x):
