@@ -53,7 +53,7 @@ def main():
     ap.add_argument("--scan", action="store_true")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--policy", default="none",
-                    choices=["none", "dots", "tri_a"])
+                    choices=["none", "dots", "tri_a", "proj"])
     ap.add_argument("--stochastic", action="store_true")
     ap.add_argument("--copies", action="store_true")
     ap.add_argument("--cpu", action="store_true")

@@ -57,6 +57,18 @@ class TestModels:
         np.testing.assert_allclose(np.asarray(out), np.asarray(out_r),
                                    rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("policy", ["dots", "tri_a", "proj"])
+    def test_remat_policies_match(self, rng, policy):
+        """Selective-remat policies are perf knobs, never numerics knobs."""
+        batch = make_synthetic_batch(rng)
+        init, apply = make_model("gap")
+        params = init(rng, CFG)
+        out = jit_apply(apply, CFG)(params, batch)
+        cfg_p = CFG.replace(remat=True, remat_policy=policy)
+        out_p = jit_apply(apply, cfg_p)(params, batch)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_p),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_layer_multiplier_shares_weights(self, rng):
         """x2 model applies each layer twice — same params, deeper compute."""
         cfg1 = CFG.replace(layer_multiplier=1)

@@ -152,6 +152,11 @@ def _remat_policy(cfg: TGTConfig):
         return jax.checkpoint_policies.dots_saveable
     if cfg.remat_policy == "tri_a":
         return jax.checkpoint_policies.save_only_these_names("tri_a")
+    if cfg.remat_policy == "proj":
+        # save the N^2 triplet projections (q/k/v/bias/gate) so backward
+        # skips the QKV+EG matmuls and layernorm but recomputes the N^3
+        # softmax chain (storing N^3 loses: CLAUDE.md measured baselines)
+        return jax.checkpoint_policies.save_only_these_names("tri_proj")
     raise ValueError(f"unknown remat_policy {cfg.remat_policy!r}")
 
 

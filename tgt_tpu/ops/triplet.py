@@ -243,13 +243,20 @@ def _triplet_attention_impl(p, e, mask, *, num_heads, gated, attention_dropout,
         # (i,k). "out": same computation on pair-transposed K/V/bias/mask
         # (bitwise-equal to the reference's direct bkijh form).
         q, k, v = jnp.split(linear(p[f"lin_QKV_{which}"], e_ln), 3, axis=-1)
-        q = q.reshape(b, n, n, d, num_heads) * scale
-        k = k.reshape(b, n, n, d, num_heads)
-        v = v.reshape(b, n, n, d, num_heads)
+        # named for selective remat (cfg.remat_policy='proj'): saving the
+        # N^2-sized projection outputs lets the backward recompute skip the
+        # QKV/EG matmuls + layernorm while still recomputing the N^3 chain
+        q = checkpoint_name(q.reshape(b, n, n, d, num_heads) * scale,
+                            "tri_proj")
+        k = checkpoint_name(k.reshape(b, n, n, d, num_heads), "tri_proj")
+        v = checkpoint_name(v.reshape(b, n, n, d, num_heads), "tri_proj")
         if gated:
             e_b, g_b = jnp.split(linear(p[f"lin_EG_{which}"], e_ln), 2, axis=-1)
+            e_b = checkpoint_name(e_b, "tri_proj")
+            g_b = checkpoint_name(g_b, "tri_proj")
         else:
-            e_b = linear(p[f"lin_E_{which}"], e_ln)
+            e_b = checkpoint_name(linear(p[f"lin_E_{which}"], e_ln),
+                                  "tri_proj")
             g_b = None
         m = mask
         if transpose_pair:

@@ -106,6 +106,10 @@ def default_scheme_config() -> Config:
         # execution (TPU)
         compute_dtype="float32",
         remat=False,
+        # selective-remat policy under remat=True: 'none' (full recompute,
+        # measured fastest at PCQM shapes), 'dots', 'tri_a', 'proj' —
+        # see docs/DESIGN.md remat table
+        remat_policy="none",
         use_scan=True,
         use_pallas=False,
         buckets=[16, 24, 32, 48, 64],
@@ -230,6 +234,7 @@ class TGTScheme:
             num_3d_kernels=c.num_3d_kernels,
             num_dist_bins=getattr(c, "num_dist_bins", 256),
             compute_dtype=c.compute_dtype, remat=c.remat,
+            remat_policy=getattr(c, "remat_policy", "none") or "none",
             use_scan=c.use_scan, use_pallas=c.use_pallas)
 
     # -- model ------------------------------------------------------------
