@@ -149,6 +149,43 @@ class TestGapPred:
         assert preds["gap_pred"].shape == (TINY["synth_val_samples"],)
 
 
+class TestOptimizers:
+    @pytest.mark.parametrize("name", ["adamw", "sgd"])
+    def test_named_optimizers_train(self, tmp_path, name):
+        # reference resolves any torch.optim name (training.py:159-171);
+        # we honour adam/adamw/sgd
+        h = make_trainer(PretrainScheme, tmp_path, f"opt_{name}",
+                         optimizer=name, weight_decay=1e-4,
+                         sgd_momentum=0.9)[1].fit(num_epochs=1)["history"]
+        assert np.isfinite(h[0]["loss"])
+
+    def test_unknown_optimizer_raises(self, tmp_path):
+        from tgt_tpu.training.harness import make_optimizer
+        from types import SimpleNamespace
+        with pytest.raises(ValueError, match="unknown optimizer"):
+            make_optimizer(SimpleNamespace(optimizer="lamb"), None)
+
+    def test_adamw_decouples_weight_decay(self):
+        """adam folds wd into the moments; adamw applies it to params only."""
+        import jax.numpy as jnp
+        from types import SimpleNamespace
+        from tgt_tpu.training.harness import make_optimizer
+        params = {"w": jnp.ones((4,))}
+        grads = {"w": jnp.zeros((4,))}
+        outs = {}
+        for name in ("adam", "adamw"):
+            cfg = SimpleNamespace(optimizer=name, weight_decay=0.1)
+            init, update = make_optimizer(cfg, None)
+            st = init(params)
+            upd, st = update(grads, st, params, jnp.asarray(0.1))
+            outs[name] = (np.asarray(upd["w"]), st)
+        # adamw: update = -lr*wd*p exactly (zero grads -> zero moments)
+        np.testing.assert_allclose(outs["adamw"][0], -0.1 * 0.1, rtol=1e-6)
+        # adam: wd enters the moments, so nu != 0
+        assert float(jnp.sum(outs["adam"][1]["nu"]["w"])) > 0.0
+        assert float(jnp.sum(outs["adamw"][1]["nu"]["w"])) == 0.0
+
+
 class TestHarness:
     def test_resume_continues_counters(self, tmp_path):
         scheme, trainer = make_trainer(PretrainScheme, tmp_path, "res")

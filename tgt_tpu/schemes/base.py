@@ -63,10 +63,10 @@ def default_scheme_config() -> Config:
         save_path=Lazy(lambda c: (
             f"{c.save_path_prefix}/{c.model_name}" if c.model_prefix is None
             else f"{c.save_path_prefix}/{c.model_prefix}/{c.model_name}")),
-        # reference-compat keys accepted by published configs; 'distributed',
-        # 'dataloader_workers' and 'optimizer' names are informational here
-        # (jax.distributed + thread loader + fused Adam replace them);
-        # mixed_precision maps to bfloat16 compute.
+        # reference-compat keys accepted by published configs; 'distributed'
+        # and 'dataloader_workers' are informational here (jax.distributed +
+        # thread loader replace them); 'optimizer' IS honoured by name
+        # (make_optimizer); mixed_precision maps to bfloat16 compute.
         distributed=False,
         dataloader_workers=1,
         evaluation_type="prediction",
@@ -123,8 +123,10 @@ def default_scheme_config() -> Config:
         # at flagship scale — see Trainer._make_key). 'threefry' for exact
         # cross-backend reproducibility.
         rng_impl="rbg",
-        # optimizer / schedule
+        # optimizer / schedule ('adam' | 'adamw' | 'sgd', resolved by name
+        # like the reference's torch.optim factory, training.py:159-171)
         optimizer="adam",
+        sgd_momentum=0.0,
         max_lr=5e-4,
         min_lr=1e-6,
         lr_schedule="warmup_cosine",

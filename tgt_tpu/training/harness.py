@@ -49,27 +49,38 @@ def eval_condition(expr: Optional[str], context: Dict[str, Any]) -> bool:
 
 
 def make_optimizer(cfg, schedule) -> Tuple[Callable, Callable]:
-    """Adam with optional grad clipping; returns (init_fn, update_fn).
+    """Optimizer factory resolved by ``cfg.optimizer`` name; returns
+    (init_fn, update_fn).
 
     update_fn(grads, opt_state, params, lr) -> (updates, new_opt_state).
     Hand-rolled (optax-compatible states are overkill here) so the checkpoint
     layout is a plain pytree and the whole step stays one fused XLA program.
-    Matches torch.optim.Adam semantics (the reference default, training.py:212;
-    apex FusedAdam is numerically the same algorithm).
+    Names mirror the reference's resolve-by-name factory
+    (training.py:159-171, any torch.optim / apex name):
+    'adam' (the published-config default; wd as L2 into grads, matching
+    torch.optim.Adam — apex FusedAdam is numerically the same algorithm),
+    'adamw' (decoupled weight decay), 'sgd' (momentum via cfg.sgd_momentum).
     """
+    name = (getattr(cfg, "optimizer", "adam") or "adam").lower()
     b1 = getattr(cfg, "adam_beta1", 0.9)
     b2 = getattr(cfg, "adam_beta2", 0.999)
     eps = getattr(cfg, "adam_eps", 1e-8)
     wd = getattr(cfg, "weight_decay", 0.0)
+    momentum = getattr(cfg, "sgd_momentum", 0.0)
     clip_value = getattr(cfg, "clip_grad_value", None)
     clip_norm = getattr(cfg, "clip_grad_norm", None)
+    if name not in ("adam", "adamw", "sgd"):
+        raise ValueError(f"unknown optimizer {name!r} "
+                         "(supported: adam, adamw, sgd)")
 
     def init_fn(params):
         zeros = jax.tree.map(jnp.zeros_like, params)
+        if name == "sgd":
+            return {"mu": zeros, "count": jnp.zeros((), jnp.int32)}
         return {"mu": zeros, "nu": jax.tree.map(jnp.zeros_like, params),
                 "count": jnp.zeros((), jnp.int32)}
 
-    def update_fn(grads, opt_state, params, lr):
+    def clip_and_decay(grads, params):
         if clip_value is not None:
             grads = jax.tree.map(
                 lambda g: jnp.clip(g, -clip_value, clip_value), grads)
@@ -78,9 +89,18 @@ def make_optimizer(cfg, schedule) -> Tuple[Callable, Callable]:
                                  for g in jax.tree.leaves(grads)))
             scale = jnp.minimum(1.0, clip_norm / (gnorm + 1e-12))
             grads = jax.tree.map(lambda g: g * scale, grads)
-        if wd:
+        if wd and name != "adamw":    # adamw decouples wd from the moments
             grads = jax.tree.map(lambda g, p: g + wd * p, grads, params)
+        return grads
+
+    def update_fn(grads, opt_state, params, lr):
+        grads = clip_and_decay(grads, params)
         count = opt_state["count"] + 1
+        if name == "sgd":
+            mu = jax.tree.map(lambda m, g: momentum * m + g,
+                              opt_state["mu"], grads)
+            updates = jax.tree.map(lambda m: -lr * m, mu)
+            return updates, {"mu": mu, "count": count}
         cf = count.astype(jnp.float32)
         mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
                           opt_state["mu"], grads)
@@ -91,6 +111,9 @@ def make_optimizer(cfg, schedule) -> Tuple[Callable, Callable]:
         updates = jax.tree.map(
             lambda m, v: -lr * (m * mu_hat_scale)
             / (jnp.sqrt(v * nu_hat_scale) + eps), mu, nu)
+        if name == "adamw" and wd:
+            updates = jax.tree.map(lambda u, p: u - lr * wd * p,
+                                   updates, params)
         return updates, {"mu": mu, "nu": nu, "count": count}
 
     return init_fn, update_fn
