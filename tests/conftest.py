@@ -13,6 +13,14 @@ os.environ["XLA_FLAGS"] = (
     + " --xla_force_host_platform_device_count=8"
 )
 
+import warnings
+
+# the torch-oracle parity tests import the reference's TorchScript modules;
+# torch.jit's deprecation notice is external noise, not ours
+warnings.filterwarnings(
+    "ignore", message=r"`torch\.jit\.script` is deprecated",
+    category=DeprecationWarning)
+
 import jax  # noqa: E402
 
 # The container's sitecustomize activates an axon TPU-tunnel backend whose

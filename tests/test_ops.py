@@ -24,7 +24,9 @@ def np_softmax(x, axis):
 
 
 def np_sigmoid(x):
-    return 1 / (1 + np.exp(-x))
+    # numerically stable both tails (avoids overflow RuntimeWarnings)
+    return np.where(x >= 0, 1 / (1 + np.exp(-np.abs(x))),
+                    np.exp(-np.abs(x)) / (1 + np.exp(-np.abs(x))))
 
 
 def np_layernorm(p, x, eps=1e-5):

@@ -61,7 +61,7 @@ def layer_kwargs(cfg, triplet_type):
 def to_torch_batch(batch):
     out = {}
     for k, v in batch.items():
-        t = torch.from_numpy(np.asarray(v))
+        t = torch.from_numpy(np.array(v))  # copy: torch rejects non-writable
         if k in ("node_features", "distance_matrix", "feature_matrix"):
             t = t.long()
         else:
