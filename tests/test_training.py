@@ -186,6 +186,19 @@ class TestOptimizers:
         assert float(jnp.sum(outs["adamw"][1]["nu"]["w"])) == 0.0
 
 
+class TestCompilationCache:
+    def test_cache_dir_populated(self, tmp_path):
+        """compilation_cache_dir persists compiled executables to disk so a
+        restarted run skips the (40s-10min on TPU) flagship compiles."""
+        cache = str(tmp_path / "xla_cache")
+        h = make_trainer(PretrainScheme, tmp_path, "cc",
+                         compilation_cache_dir=cache)[1].fit(
+                             num_epochs=1)["history"]
+        assert np.isfinite(h[0]["loss"])
+        cached = list(os.listdir(cache))
+        assert cached, "no executables were persisted"
+
+
 class TestHarness:
     def test_resume_continues_counters(self, tmp_path):
         scheme, trainer = make_trainer(PretrainScheme, tmp_path, "res")

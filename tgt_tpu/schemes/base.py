@@ -110,6 +110,9 @@ def default_scheme_config() -> Config:
         # measured fastest at PCQM shapes), 'dots', 'tri_a', 'proj' —
         # see docs/DESIGN.md remat table
         remat_policy="none",
+        # persistent XLA compilation cache dir (None = off): restarted or
+        # stage-transferred runs skip recompiling the flagship executables
+        compilation_cache_dir=None,
         use_scan=True,
         use_pallas=False,
         buckets=[16, 24, 32, 48, 64],

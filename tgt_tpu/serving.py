@@ -35,7 +35,11 @@ class _BasePredictor:
 
     def __init__(self, params, model_cfg: TGTConfig, mc_samples: int = 10,
                  batch_size: int = 16, buckets: Sequence[int] = (16, 32, 48, 64),
-                 seed: int = 0):
+                 seed: int = 0, compilation_cache_dir: Optional[str] = None):
+        # persistent executable cache: a restarted serving process skips the
+        # per-bucket compiles entirely (warmup() then costs ~ms per shape)
+        from tgt_tpu.utils.compile_cache import enable_compilation_cache
+        enable_compilation_cache(compilation_cache_dir)
         self.params = params
         self.cfg = model_cfg
         self.mc_samples = mc_samples
@@ -50,7 +54,9 @@ class _BasePredictor:
     def from_model_dir(cls, model_dir: str, mc_samples: int = 10,
                        batch_size: int = 16,
                        buckets: Sequence[int] = (16, 32, 48, 64),
-                       which: str = "checkpoint") -> "_BasePredictor":
+                       which: str = "checkpoint",
+                       compilation_cache_dir: Optional[str] = None
+                       ) -> "_BasePredictor":
         """Load config.yaml + the saved checkpoint from a model dir."""
         import os
 
@@ -64,7 +70,8 @@ class _BasePredictor:
         params, _, _ = load_pytree(template, path)
         return cls(jax.tree.map(jnp.asarray, params), scheme.model_cfg,
                    mc_samples=mc_samples, batch_size=batch_size,
-                   buckets=buckets)
+                   buckets=buckets,
+                   compilation_cache_dir=compilation_cache_dir)
 
     # -- device side ------------------------------------------------------
     def _mc_forward(self, params, feed, rng):

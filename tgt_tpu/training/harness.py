@@ -129,6 +129,12 @@ class Trainer:
         self.world_size = world_size
         self.is_main = rank == 0
 
+        # persistent XLA compilation cache: restarted runs / resumed stages
+        # skip the 40s-10min flagship compiles (utils/compile_cache.py)
+        from tgt_tpu.utils.compile_cache import enable_compilation_cache
+        enable_compilation_cache(
+            getattr(self.cfg, "compilation_cache_dir", None))
+
         # Production (data, pair) mesh: every jitted train/eval step runs
         # GSPMD-sharded over ALL devices — batches shard on their leading
         # axis over 'data' (XLA inserts the gradient all-reduce, replacing
