@@ -1,0 +1,65 @@
+"""Subprocess driver for the 2-process integration test (test_multiprocess).
+
+Runs the REAL CLI path — execute('train', ...) with jax.distributed
+rendezvous from config keys — on a tiny synthetic scheme, then prints the
+final history entry as JSON for the parent to compare across ranks.
+
+Usage: python tests/mp_driver.py <process_id> <coordinator> <save_dir>
+"""
+import json
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+
+def main():
+    pid = int(sys.argv[1])
+    coordinator = sys.argv[2]
+    save_dir = sys.argv[3]
+
+    from tgt_tpu.cli.execute import execute
+
+    config = dict(
+        scheme="pcqm.pretrain",
+        dataset_source="synthetic",
+        synth_train_samples=16,
+        synth_val_samples=9,   # 5/4 split: exercises the unequal-shard
+                               # prediction gather (pad + allgather + trim)
+        synth_max_nodes=10,
+        batch_size=2,          # per-rank; global batch 4 over 4 devices
+        buckets=[12],
+        model_height=2,
+        node_width=16,
+        edge_width=8,
+        num_heads=4,
+        triplet_heads=2,
+        num_dist_bins=16,
+        evaluation_samples=2,
+        prediction_samples=2,
+        max_lr=1e-3,
+        lr_warmup_steps=4,
+        lr_total_steps=10_000,
+        num_epochs=1,
+        save_path_prefix=save_dir,
+        model_name="mp",
+        jax_coordinator=coordinator,
+        jax_num_processes=2,
+        jax_process_id=pid,
+    )
+    result = execute("train", config)
+    last = dict(result["history"][-1])
+    print("MP_RESULT " + json.dumps(
+        {k: float(v) if isinstance(v, (int, float)) else v
+         for k, v in last.items()}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -237,11 +237,24 @@ class Trainer:
 
     def _put_repl(self, x):
         """Scalar step inputs (step index, rng, lr scale) as replicated
-        global arrays so the sharded jit accepts them in multi-process."""
+        global arrays so the sharded jit accepts them in multi-process.
+
+        device_put rejects shardings with non-addressable devices, so the
+        multi-process case goes through make_array_from_callback (every
+        process holds the same host value — replication is consistent)."""
         x = jnp.asarray(x)
         if self.mesh is None:
             return x
-        return jax.device_put(x, self._repl)
+        if jax.process_count() == 1:
+            return jax.device_put(x, self._repl)
+        if jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+            # typed PRNG keys aren't numpy-convertible; ship the raw bits
+            raw = self._put_repl(jax.random.key_data(x))
+            return jax.random.wrap_key_data(
+                raw, impl=jax.random.key_impl(x))
+        host = np.asarray(x)
+        return jax.make_array_from_callback(host.shape, self._repl,
+                                            lambda idx: host[idx])
 
     # ------------------------------------------------------------------
     # state init / restore
