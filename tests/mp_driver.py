@@ -60,6 +60,13 @@ def main():
         {k: float(v) if isinstance(v, (int, float)) else v
          for k, v in last.items()}), flush=True)
 
+    # same processes, evaluate command: exercises the cross-host prediction
+    # gather in execute_evaluate (full-split metrics on every rank)
+    metrics = execute("evaluate", config, rank=pid, world_size=2)
+    print("MP_EVAL " + json.dumps(
+        {s: {k: float(v) for k, v in m.items()}
+         for s, m in metrics.items()}), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -69,3 +69,18 @@ def test_two_process_training_identical_history(tmp_path):
     model_dir = tmp_path / "mp"
     assert (model_dir / "checkpoint" / "model.npz").exists()
     assert (model_dir / "logs" / "history.yaml").exists()
+
+    # evaluate command: full-split metrics gathered identically on all ranks
+    evals = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("MP_EVAL ")]
+        assert lines, f"no MP_EVAL in output:\n{out[-1000:]}"
+        evals.append(json.loads(lines[-1][len("MP_EVAL "):]))
+    e0, e1 = evals
+    assert e0.keys() == e1.keys() and e0
+    for split in e0:
+        for k in e0[split]:
+            assert np.isfinite(e0[split][k])
+            assert e0[split][k] == pytest.approx(e1[split][k], rel=1e-6), \
+                (split, k)
+    assert (model_dir / "predictions" / "results.yaml").exists()

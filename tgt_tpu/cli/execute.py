@@ -121,7 +121,13 @@ def execute_predict(scheme, trainer) -> Dict:
         print(f"saved {split} predictions to {out_file}")
         results[split] = preds
     if scheme.NAME in ("finetune", "gap_pred"):
-        _write_results(scheme, trainer, results)
+        # metrics must cover the FULL split, not this rank's shard — the
+        # per-rank npz artifacts above stay sharded (reference keeps
+        # per-rank artifacts too) but the results.yaml numbers are global
+        from tgt_tpu.parallel.mesh import gather_predictions
+        gathered = {split: gather_predictions(preds, trainer.world_size)
+                    for split, preds in results.items()}
+        _write_results(scheme, trainer, gathered)
     return results
 
 
