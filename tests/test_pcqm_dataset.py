@@ -109,6 +109,43 @@ class TestBinsColumn:
             np.testing.assert_array_equal(
                 row["dist_bins"], originals[row["idx"]].astype(np.float32))
 
+    def test_bins_join_across_rank_shards(self, dataset_dir, tmp_path):
+        """Multi-host dist_pred writes one parquet shard PER RANK
+        ({split}_{rank:03d}.parquet, reference dist_pred/scheme.py:256-306);
+        the Bins column must join rows spread over several shard files."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        ds = PCQM4Mv2Dataset("valid", dataset_dir, return_idx=True)
+        s, num_bins = 2, 16
+        rng = np.random.RandomState(1)
+        bins_dir = tmp_path / "bins2"
+        (bins_dir / "data").mkdir(parents=True)
+        rows = [ds[i + ds.index_offset] for i in range(len(ds))]
+        originals = {}
+        # split the rows over two "rank" shard files (interleaved, so the
+        # shards are NOT contiguous in idx — the join must still line up)
+        for rank in (0, 1):
+            idxs, packed_list = [], []
+            for row in rows[rank::2]:
+                n = row["num_nodes"]
+                bins = np.triu(rng.randint(0, num_bins, (s, n, n)), 1).astype(
+                    bins_dtype(num_bins))
+                originals[row["idx"]] = bins
+                idxs.append(row["idx"])
+                packed_list.append(pack_bins_multi(bins).reshape(-1))
+            pq.write_table(pa.table({"idx": idxs, "bins": packed_list}),
+                           bins_dir / "data" / f"valid_{rank:03d}.parquet")
+        json.dump({"num_samples": s, "num_bins": num_bins, "range_bins": 8},
+                  open(bins_dir / "meta.json", "w"))
+
+        ds2 = PCQM4Mv2Dataset("valid", dataset_dir, return_idx=True,
+                              additional_columns=[Bins(str(bins_dir), s)])
+        assert len(ds2) == len(rows)
+        for i in range(len(ds2)):
+            row = ds2[i + ds2.index_offset]
+            np.testing.assert_array_equal(
+                row["dist_bins"], originals[row["idx"]].astype(np.float32))
+
 
 class TestSchemeOnParquet:
     def test_dist_pred_scheme_runs_on_parquet(self, dataset_dir, tmp_path):
