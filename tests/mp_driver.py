@@ -24,8 +24,44 @@ def main():
     pid = int(sys.argv[1])
     coordinator = sys.argv[2]
     save_dir = sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "pretrain"
 
     from tgt_tpu.cli.execute import execute
+
+    if mode == "dist_pred":
+        # train one epoch then run the PREDICT command: each process writes
+        # its own bins parquet shard (reference dist_pred/scheme.py:256-306)
+        config = dict(
+            scheme="pcqm.dist_pred",
+            coords_input="rdkit",
+            dataset_source="synthetic",
+            synth_train_samples=16,
+            synth_val_samples=9,
+            synth_max_nodes=10,
+            batch_size=2,
+            buckets=[12],
+            model_height=2,
+            node_width=16,
+            edge_width=8,
+            num_heads=4,
+            triplet_heads=2,
+            num_dist_bins=16,
+            evaluation_samples=2,
+            prediction_samples=2,
+            max_lr=1e-3,
+            lr_warmup_steps=4,
+            lr_total_steps=10_000,
+            num_epochs=1,
+            save_path_prefix=save_dir,
+            model_name="mp_dp",
+            jax_coordinator=coordinator,
+            jax_num_processes=2,
+            jax_process_id=pid,
+        )
+        execute("train", config)
+        execute("predict", config, rank=pid, world_size=2)
+        print("MP_PREDICT_DONE", flush=True)
+        return
 
     config = dict(
         scheme="pcqm.pretrain",

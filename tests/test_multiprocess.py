@@ -71,6 +71,7 @@ def test_two_process_training_identical_history(tmp_path):
     assert (model_dir / "logs" / "history.yaml").exists()
 
     # evaluate command: full-split metrics gathered identically on all ranks
+    # (continues below)
     evals = []
     for out in outs:
         lines = [l for l in out.splitlines() if l.startswith("MP_EVAL ")]
@@ -84,3 +85,52 @@ def test_two_process_training_identical_history(tmp_path):
             assert e0[split][k] == pytest.approx(e1[split][k], rel=1e-6), \
                 (split, k)
     assert (model_dir / "predictions" / "results.yaml").exists()
+
+
+def test_two_process_dist_pred_bins_shards(tmp_path):
+    """dist_pred predict across 2 processes: each rank writes its own bins
+    parquet shard; together they cover the full split and are readable by
+    the Bins column (stage-1 -> stage-3 handoff in a multi-host run)."""
+    coordinator = f"localhost:{_free_port()}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "XLA_FLAGS", "JAX_PLATFORMS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, DRIVER, str(pid), coordinator, str(tmp_path),
+             "dist_pred"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=REPO)
+        for pid in (0, 1)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=360)
+        assert p.returncode == 0, f"rank failed:\n{out[-2000:]}\n{err[-2000:]}"
+        assert "MP_PREDICT_DONE" in out
+
+    import glob
+    import json as _json
+    pred_dir = tmp_path / "mp_dp" / "predictions"
+    bins_dirs = glob.glob(str(pred_dir / "bins*"))
+    assert bins_dirs, f"no bins dir under {pred_dir}"
+    bins_dir = bins_dirs[0]
+    meta = _json.load(open(os.path.join(bins_dir, "meta.json")))
+    assert meta["num_samples"] >= 1
+    shards = sorted(os.listdir(os.path.join(bins_dir, "data")))
+    # per-rank shards for each predicted split (train + val)
+    for split in ("train", "val"):
+        split_shards = [s for s in shards if s.startswith(split)]
+        assert len(split_shards) == 2, (split, shards)
+
+    # within each split, the rank shards carry disjoint global row ids and
+    # jointly cover the whole split (train/val are independent synthetic
+    # datasets, so ids only need to be unique per split — the real PCQM
+    # record table makes them globally unique)
+    import pyarrow.parquet as pq
+    expected = {"train": 16, "val": 9}
+    for split, total in expected.items():
+        idxs = []
+        for shard in (s for s in shards if s.startswith(split)):
+            idxs += pq.read_table(
+                os.path.join(bins_dir, "data", shard))["idx"].to_pylist()
+        assert sorted(idxs) == list(range(total)), (split, sorted(idxs))

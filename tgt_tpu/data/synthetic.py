@@ -66,6 +66,10 @@ class SyntheticDataset:
                 row.pop("rdkit_coords")
             row["node_mask"] = np.ones(n, np.uint8)
             self._rows.append(row)
+        # global row ids, like PCQM4Mv2Dataset(return_idx=True): predict
+        # shards written by different ranks must carry non-colliding idx
+        for i, r in enumerate(self._rows):
+            r["idx"] = i
         # pre-apply structural transform (cache, like the reference row cache)
         self._cache = [self._transform(dict(r)) for r in self._rows]
         self.max_num_nodes = max(r["num_nodes"] for r in self._rows)

@@ -182,9 +182,16 @@ class DistPredScheme(TGTScheme):
                 for bi, n in enumerate(num_nodes):
                     packed = pack_bins_multi(bins[bi, :, :n, :n]).reshape(-1)
                     all_bins.append(packed)
-                # datasets built with return_idx carry global ids; the
-                # synthetic fallback uses running per-rank positions
-                idx = batch.get("idx", offset + np.arange(len(num_nodes)))
+                # datasets carry global row ids ('idx'); a per-rank running
+                # position is only safe single-rank (it would collide
+                # across rank shards and misjoin in the finetune stage)
+                idx = batch.get("idx")
+                if idx is None:
+                    if world_size > 1:
+                        raise ValueError(
+                            "multi-rank bins prediction needs global row "
+                            "ids; dataset rows lack 'idx'")
+                    idx = offset + np.arange(len(num_nodes))
                 offset += len(num_nodes)
                 all_idx.append(np.asarray(idx))
             table = pa.Table.from_pydict({
