@@ -65,6 +65,9 @@ def main():
 
     config = dict(
         scheme="pcqm.pretrain",
+        # mode 'pair': (data=2, pair=2) mesh over 2 processes — edge-block
+        # partitioning spanning a process boundary
+        num_pair_devices=2 if mode == "pair" else 1,
         dataset_source="synthetic",
         synth_train_samples=16,
         synth_val_samples=9,   # 5/4 split: exercises the unequal-shard

@@ -134,3 +134,41 @@ def test_two_process_dist_pred_bins_shards(tmp_path):
             idxs += pq.read_table(
                 os.path.join(bins_dir, "data", shard))["idx"].to_pylist()
         assert sorted(idxs) == list(range(total)), (split, sorted(idxs))
+
+
+def _run_pair(tmp_path, mode):
+    coordinator = f"localhost:{_free_port()}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "XLA_FLAGS", "JAX_PLATFORMS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, DRIVER, str(pid), coordinator,
+             str(tmp_path / mode), mode],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=REPO)
+        for pid in (0, 1)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=360)
+        assert p.returncode == 0, f"rank failed:\n{out[-2000:]}\n{err[-2000:]}"
+        line = [l for l in out.splitlines() if l.startswith("MP_RESULT ")][-1]
+        results.append(json.loads(line[len("MP_RESULT "):]))
+    return results
+
+
+def test_two_process_pair_sharded_training(tmp_path):
+    """(data=2, pair=2) mesh over 2 processes: the edge-block 'pair' axis
+    spans a process boundary. Train loss must match the pure-DP run on the
+    same global data (pair sharding is a layout, not a numerics, choice)."""
+    (tmp_path / "pair").mkdir()
+    (tmp_path / "pretrain").mkdir()
+    pair = _run_pair(tmp_path, "pair")
+    plain = _run_pair(tmp_path, "pretrain")
+    # identical across ranks
+    assert pair[0]["loss"] == pytest.approx(pair[1]["loss"], rel=1e-6)
+    # and equal to the unsharded-pair run up to reduction reassociation
+    assert pair[0]["loss"] == pytest.approx(plain[0]["loss"], rel=1e-4)
+    assert pair[0]["val_loss"] == pytest.approx(plain[0]["val_loss"],
+                                                rel=1e-4)
