@@ -302,3 +302,32 @@ class TestSizeBucketedSampler:
         loader = scheme.train_loader(0, 0, 1)
         shapes = {b["node_features"].shape[1] for b in loader}
         assert shapes <= {8, 12}
+
+
+class TestTinyMolecules:
+    def test_single_atom_molecules_finite(self):
+        """1-3 atom molecules (no edges for n=1) survive the structural
+        transform, collate, and a full model forward with finite outputs
+        (PCQM's long tail includes very small molecules)."""
+        import functools
+        import jax
+        from tgt_tpu.data import DataLoader, DistributedTrainSampler
+        from tgt_tpu.models import TGTConfig, make_model
+
+        ds = SyntheticDataset(num_samples=8, min_nodes=1, max_nodes=3, seed=0)
+        cfg = TGTConfig(node_width=16, edge_width=8, num_heads=4,
+                        model_height=2, triplet_heads=2,
+                        triplet_type="attention", num_dist_bins=8)
+        init, apply = make_model("gap")
+        params = init(jax.random.PRNGKey(0), cfg)
+        japply = jax.jit(functools.partial(apply, cfg=cfg))
+        for batch in DataLoader(ds, DistributedTrainSampler(len(ds), 4, 0, 1),
+                                buckets=(4,)):
+            batch["dist_input"] = np.linalg.norm(
+                batch["dft_coords"][:, :, None] - batch["dft_coords"][:, None],
+                axis=-1)
+            feed = {k: batch[k] for k in
+                    ("node_features", "distance_matrix", "feature_matrix",
+                     "node_mask", "edge_mask", "dist_input")}
+            out = japply(params, feed)
+            assert np.isfinite(np.asarray(out)).all()
