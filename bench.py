@@ -126,18 +126,23 @@ def peak_tflops(device) -> float:
     return 197.0  # default: v5e
 
 
-def compiled_flops(step, *example_args):
-    """FLOPs of the compiled train step from XLA's cost analysis (counts
-    what the device executes, including remat recompute). Returns None if
-    the backend doesn't expose it."""
+def compiled_costs(step, *example_args):
+    """(flops, bytes_accessed) of the compiled train step from XLA's cost
+    analysis (counts what the device executes, including remat recompute).
+    Returns (None, None) if the backend doesn't expose it. bytes_accessed
+    is XLA's modeled memory traffic — the basis for the BANDWIDTH roofline,
+    which is the binding one for this workload (lane-padded N^3 elementwise
+    + layout copies, not matmuls)."""
     try:
         ca = step.lower(*example_args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         f = ca.get("flops")
-        return float(f) if f and f > 0 else None
+        b = ca.get("bytes accessed")
+        return (float(f) if f and f > 0 else None,
+                float(b) if b and b > 0 else None)
     except Exception:
-        return None
+        return None, None
 
 
 def main():
@@ -199,12 +204,18 @@ def main():
     # roofline accounting (VERDICT r1 #9): FLOPs of the compiled step vs the
     # chip's peak -> achieved TFLOP/s and MFU
     idx0 = jnp.asarray(rs.choice(pool, bsz, replace=False))
-    flops = compiled_flops(step, params, opt_state, idx0,
-                           jax.random.key(0, impl='rbg'))
+    flops, bytes_acc = compiled_costs(step, params, opt_state, idx0,
+                                      jax.random.key(0, impl='rbg'))
     peak = peak_tflops(jax.devices()[0])
     step_s = dt / args.steps
     achieved_tflops = (flops / step_s / 1e12) if flops else None
     mfu = (achieved_tflops / peak) if achieved_tflops else None
+    # bandwidth roofline — the BINDING one here (BASELINE.md "measured vs
+    # speed-of-light"): XLA-modeled bytes moved / measured step time vs
+    # HBM peak (v5e: 819 GB/s per public spec)
+    hbm_peak_gbps = 819.0
+    achieved_gbps = (bytes_acc / step_s / 1e9) if bytes_acc else None
+    sol_bandwidth = (achieved_gbps / hbm_peak_gbps) if achieved_gbps else None
 
     result = {
         "metric": "graphs/sec/chip (TGT-At 102M train step, b=%d N=%d, bf16)"
@@ -227,6 +238,12 @@ def main():
                                 if achieved_tflops else None),
             "peak_tflops_bf16": peak,
             "mfu": round(mfu, 4) if mfu else None,
+            "bytes_per_step": bytes_acc,
+            "achieved_gbps": (round(achieved_gbps, 1)
+                              if achieved_gbps else None),
+            "hbm_peak_gbps": hbm_peak_gbps,
+            "sol_bandwidth": (round(sol_bandwidth, 3)
+                              if sol_bandwidth else None),
         },
     }
     print(json.dumps(result))
