@@ -114,8 +114,18 @@ class CheckpointManager:
         os.makedirs(self.ckpt_dir, exist_ok=True)
         save_pytree(params, os.path.join(self.ckpt_dir, "model.npz"))
         save_pytree(opt_state, os.path.join(self.ckpt_dir, "optimizer.npz"))
-        with open(os.path.join(self.ckpt_dir, "training_state.json"), "w") as f:
-            json.dump(counters, f)
+        # counters atomically too — a crash mid-write must not leave a fresh
+        # model.npz next to a truncated training_state.json
+        state_path = os.path.join(self.ckpt_dir, "training_state.json")
+        fd, tmp = tempfile.mkstemp(dir=self.ckpt_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(counters, f)
+            os.replace(tmp, state_path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
         if self.save_backups and epoch is not None:
             bdir = os.path.join(self.backup_dir, f"epoch_{epoch}")
             os.makedirs(bdir, exist_ok=True)
