@@ -213,7 +213,7 @@ class TestPairShardedTraining:
                         triplet_type=triplet_type, node_ended=True,
                         edge_ended=True, drop_path=0.1,
                         node_act_dropout=0.1, edge_act_dropout=0.1,
-                        source_dropout=0.1)
+                        source_dropout=0.1, triplet_dropout=0.1)
         params = encoder_init(jax.random.PRNGKey(0), cfg)
         b, n = 2, 8
         h = jax.random.normal(jax.random.PRNGKey(1), (b, n, 16))
@@ -245,6 +245,39 @@ class TestPairShardedTraining:
             params = jax.tree.map(lambda p_, g: p_ - 0.05 * g, params, grads)
             losses.append(float(val))
         assert losses[-1] < losses[0]
+
+    @pytest.mark.parametrize("triplet_type", ["attention", "aggregate"])
+    def test_triplet_dropout_is_consumed(self, mesh, triplet_type):
+        """Regression: the pair-sharded path must APPLY cfg.triplet_dropout —
+        it was silently dropped once (same rng, dropout on vs off must give
+        different stochastic outputs)."""
+        from tgt_tpu.models import TGTConfig
+        from tgt_tpu.models.encoder import encoder_init
+        from tgt_tpu.parallel.pair_layer import encoder_pair_sharded
+
+        outs = {}
+        for rate in (0.0, 0.5):
+            cfg = TGTConfig(node_width=16, edge_width=16, num_heads=4,
+                            model_height=2, triplet_heads=2,
+                            triplet_type=triplet_type, node_ended=True,
+                            edge_ended=True, triplet_dropout=rate)
+            params = encoder_init(jax.random.PRNGKey(0), cfg)
+            b, n = 2, 8
+            h = jax.random.normal(jax.random.PRNGKey(1), (b, n, 16))
+            e = jax.random.normal(jax.random.PRNGKey(2), (b, n, n, 16))
+            mask = jnp.zeros((b, n, n, 1))
+
+            def fn(p_, h_, e_, m_, r_, cfg=cfg):
+                return encoder_pair_sharded(p_, h_, e_, m_, cfg=cfg,
+                                            deterministic=False, rng=r_)
+            smapped = jax.shard_map(
+                fn, mesh=mesh,
+                in_specs=(P(), P(), P(None, PAIR_AXIS), P(None, PAIR_AXIS),
+                          P()),
+                out_specs=(P(), P(None, PAIR_AXIS)), check_vma=False)
+            _, e2 = smapped(params, h, e, mask, jax.random.PRNGKey(7))
+            outs[rate] = np.asarray(e2)
+        assert not np.allclose(outs[0.0], outs[0.5], atol=1e-6)
 
     def test_stochastic_mean_close_to_deterministic(self, mesh):
         """Averaging many stochastic draws approaches the deterministic

@@ -115,7 +115,10 @@ def pad_batch_dim(batch: Dict[str, np.ndarray], target_bsize: int
                   ) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
     """Zero-pad the batch dimension to ``target_bsize``; returns the batch and
     a (target_bsize,) sample-validity mask. Needed for fixed-shape final
-    batches and for even per-device sharding."""
+    batches and for even per-device sharding. Every value must carry the
+    batch as its leading dim (Trainer.shard_device_batch re-implements the
+    same zero-pad discipline for device batches with 0-d metadata entries —
+    if the padding semantics ever change, change BOTH)."""
     b = len(next(iter(batch.values())))
     sample_mask = np.zeros(target_bsize, np.float32)
     sample_mask[:b] = 1

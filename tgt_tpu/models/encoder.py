@@ -20,6 +20,7 @@ HBM. Residuals are functional; XLA fuses them into the producing ops.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -258,11 +259,16 @@ def _encoder_apply_unrolled(params: Dict[str, Any], g: Graph, cfg: TGTConfig,
             layer_p = params["last"]
         nu, eu = cfg.layer_updates(i)
         lcfg = cfg.layer_cfg(i)
+        apply_fn = functools.partial(
+            tgt_layer_apply, cfg=lcfg, node_update=nu, edge_update=eu,
+            drop_path_rate=cfg.drop_path_rate(i), deterministic=deterministic)
+        if cfg.remat:
+            # cfg.remat must hold on this path too (IndivConfig models can
+            # only run unrolled; without this they'd silently store every
+            # layer's activations and OOM at flagship scale)
+            apply_fn = jax.checkpoint(apply_fn, policy=_remat_policy(cfg))
         for m in range(cfg.layer_multiplier):
             k = None if layer_keys is None else layer_keys[i][m]
-            g = tgt_layer_apply(layer_p, g, lcfg, node_update=nu,
-                                edge_update=eu,
-                                drop_path_rate=cfg.drop_path_rate(i),
-                                deterministic=deterministic, rng=k)
+            g = apply_fn(layer_p, g, rng=k)
             captures.append((g.h, g.e))
     return g, captures

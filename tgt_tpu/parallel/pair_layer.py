@@ -124,10 +124,14 @@ def tgt_layer_pair_sharded(p: Dict[str, Any], h_full: jnp.ndarray,
     from tgt_tpu.ops.ffn import ffn
 
     if deterministic:
-        r = [None] * 8
+        r = [None] * 9
         r_edge = [None]
     else:
-        r = list(jax.random.split(rng, 8))
+        if rng is None:
+            raise ValueError(
+                "tgt_layer_pair_sharded: rng is required when "
+                "deterministic=False (stochastic pair-sharded training)")
+        r = list(jax.random.split(rng, 9))
         my = jax.lax.axis_index(axis_name)
         r_edge = [jax.random.fold_in(r[7], my)]
 
@@ -151,11 +155,15 @@ def tgt_layer_pair_sharded(p: Dict[str, Any], h_full: jnp.ndarray,
         if cfg.triplet_type in ("attention", "attention_ungated"):
             tri = triplet_attention_ring(
                 p["tria"], e, mask_local, num_heads=cfg.triplet_heads,
-                gated=cfg.triplet_type == "attention", axis_name=axis_name)
+                gated=cfg.triplet_type == "attention", axis_name=axis_name,
+                attention_dropout=cfg.triplet_dropout,
+                deterministic=deterministic, rng=r[8])
         elif cfg.triplet_type in ("aggregate", "aggregate_ungated"):
             tri = triplet_aggregate_ring(
                 p["tria"], e, mask_local, num_heads=cfg.triplet_heads,
-                gated=cfg.triplet_type == "aggregate", axis_name=axis_name)
+                gated=cfg.triplet_type == "aggregate", axis_name=axis_name,
+                attention_dropout=cfg.triplet_dropout,
+                deterministic=deterministic, rng=r[8])
         else:
             raise NotImplementedError(
                 "pair-sharded path supports the attention/aggregate triplet "

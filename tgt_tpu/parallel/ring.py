@@ -39,7 +39,8 @@ def ring_pass(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     return jax.lax.ppermute(x, axis_name, perm)
 
 
-def _block_attention(q_blk, k_blk, v_blk, bias, gate, scale):
+def _block_attention(q_blk, k_blk, v_blk, bias, gate, scale,
+                     dropout_rate=0.0, rng=None):
     """One (i_local, j_block) tile of per-j biased (optionally gated)
     attention.
 
@@ -49,21 +50,30 @@ def _block_attention(q_blk, k_blk, v_blk, bias, gate, scale):
     gate=None for the ungated variants
     returns (b, i_loc, j_blk, d, h)
     """
-    # k-minor logits layout (see ops/triplet._triplet_attention_impl —
-    # measured 2.98x on TPU over the h-minor spelling)
+    from tgt_tpu.ops.common import dropout
+
+    # k-minor logits layout (matches ops/triplet._triplet_attention_impl;
+    # NOTE warm-measured EQUAL to h-minor — layout kept for consistency,
+    # not speed: CLAUDE.md measurement rule retracted the early "2.98x")
     s = jnp.einsum("bijdh,bjkdh->bijhk", q_blk * scale, k_blk)
     s = s + jnp.swapaxes(bias, 2, 3)[:, :, None]
     a = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
     if gate is not None:
         a = a * jax.nn.sigmoid(
             jnp.swapaxes(gate, 2, 3).astype(jnp.float32))[:, :, None]
+    if rng is not None and dropout_rate > 0.0:
+        # per-block mask: same DISTRIBUTION as the unsharded op's single
+        # N^3 mask (each (i,j,k) element is computed on exactly one device)
+        a = dropout(rng, a, dropout_rate, deterministic=False)
     return jnp.einsum("bijhk,bjkdh->bijdh", a.astype(v_blk.dtype), v_blk)
 
 
 def ring_triplet_direction(q_local: jnp.ndarray, k_local: jnp.ndarray,
                            v_local: jnp.ndarray, bias_local: jnp.ndarray,
                            gate_local: jnp.ndarray, scale: float,
-                           axis_name: str = PAIR_AXIS) -> jnp.ndarray:
+                           axis_name: str = PAIR_AXIS,
+                           attention_dropout: float = 0.0,
+                           rng=None) -> jnp.ndarray:
     """One triplet direction under i-block sharding with a j-block ring.
 
     Shapes (per device, inside shard_map):
@@ -82,6 +92,9 @@ def ring_triplet_direction(q_local: jnp.ndarray, k_local: jnp.ndarray,
     my = jax.lax.axis_index(axis_name)
     b, i_loc, n, d, h = q_local.shape
     j_blk = k_local.shape[1]
+    # independent dropout bits per (i-block owner, j-block): every global
+    # (i,j,k) element gets exactly one mask draw
+    blk_rng = None if rng is None else jax.random.fold_in(rng, my)
 
     def step(carry, t):
         k_blk, v_blk = carry
@@ -90,8 +103,12 @@ def ring_triplet_direction(q_local: jnp.ndarray, k_local: jnp.ndarray,
         src = (my - t) % p
         q_blk = jax.lax.dynamic_slice_in_dim(q_local, src * j_blk, j_blk,
                                              axis=2)
+        step_rng = None if blk_rng is None else jax.random.fold_in(blk_rng,
+                                                                   src)
         out_blk = _block_attention(q_blk, k_blk, v_blk, bias_local,
-                                   gate_local, scale)
+                                   gate_local, scale,
+                                   dropout_rate=attention_dropout,
+                                   rng=step_rng)
         next_k = ring_pass(k_blk, axis_name)
         next_v = ring_pass(v_blk, axis_name)
         return (next_k, next_v), (src, out_blk)
@@ -117,7 +134,10 @@ def ring_triplet_direction(q_local: jnp.ndarray, k_local: jnp.ndarray,
 def triplet_attention_ring(params, e_local: jnp.ndarray,
                            mask_local: jnp.ndarray, *, num_heads: int,
                            gated: bool = True,
-                           axis_name: str = PAIR_AXIS) -> jnp.ndarray:
+                           axis_name: str = PAIR_AXIS,
+                           attention_dropout: float = 0.0,
+                           deterministic: bool = True,
+                           rng=None) -> jnp.ndarray:
     """Full gated/ungated triplet attention under pair-axis i-block sharding.
 
     e_local: (b, i_loc, N, W) — the edge channel sharded on the first node
@@ -136,6 +156,10 @@ def triplet_attention_ring(params, e_local: jnp.ndarray,
     scale = d ** -0.5
     e_ln = layernorm(params["tri_ln_e"], e_local)
     m3 = mask_local[..., 0]
+    use_dropout = (not deterministic) and attention_dropout > 0.0 \
+        and rng is not None
+    r_in, r_out = jax.random.split(rng) if use_dropout else (None, None)
+    drop_rate = attention_dropout if use_dropout else 0.0
 
     def heads(x):
         return x.reshape(b, i_loc, n, d, h)
@@ -151,7 +175,8 @@ def triplet_attention_ring(params, e_local: jnp.ndarray,
     bias = e_b + m3[..., None]
     # q rows are i-local with j columns ✓; k/v rows are j-local (the i axis
     # of e_local IS the j-row owner axis for K/V) ✓
-    va_in = ring_triplet_direction(q, k, v, bias, gate, scale, axis_name)
+    va_in = ring_triplet_direction(q, k, v, bias, gate, scale, axis_name,
+                                   attention_dropout=drop_rate, rng=r_in)
 
     # ---- out direction ------------------------------------------------
     # out[i,j] = sum_k softmax_k(Q[i,j]·K[k,j] + E_out[k,i]) V[k,j]
@@ -170,7 +195,8 @@ def triplet_attention_ring(params, e_local: jnp.ndarray,
     vt = _pair_transpose(v2, axis_name)
     bias2 = _pair_transpose_bias(e_b2 + m3[..., None], axis_name)
     va_out = ring_triplet_direction(q2, kt, vt, bias2, gate2, scale,
-                                    axis_name)
+                                    axis_name,
+                                    attention_dropout=drop_rate, rng=r_out)
 
     va = jnp.concatenate([va_in, va_out], axis=-1).reshape(b, i_loc, n, 2 * w)
     return linear(params["lin_O"], va)
@@ -213,19 +239,31 @@ def ring_aggregate_direction(a_local: jnp.ndarray, v_local: jnp.ndarray,
 def triplet_aggregate_ring(params, e_local: jnp.ndarray,
                            mask_local: jnp.ndarray, *, num_heads: int,
                            gated: bool = True,
-                           axis_name: str = PAIR_AXIS) -> jnp.ndarray:
+                           axis_name: str = PAIR_AXIS,
+                           attention_dropout: float = 0.0,
+                           deterministic: bool = True,
+                           rng=None) -> jnp.ndarray:
     """Gated/ungated triplet aggregation under pair-axis i-block sharding.
 
     Semantics match ops/triplet.triplet_aggregate{,_ungated} for the gathered
     result, including the gated variant's UNMASKED out-direction quirk
-    (reference lib/tgt/layers/triplet.py:63-64).
+    (reference lib/tgt/layers/triplet.py:63-64). attention_dropout applies to
+    the N^2 weights like the unsharded op (device-index-folded keys: the
+    weights are i-row-local, so masks are drawn once per element).
     """
-    from tgt_tpu.ops.common import layernorm, linear
+    from tgt_tpu.ops.common import dropout, layernorm, linear
 
     b, i_loc, n, w = e_local.shape
     h = num_heads
     d = w // h
     e_ln = layernorm(params["tri_ln_e"], e_local)
+    use_dropout = (not deterministic) and attention_dropout > 0.0 \
+        and rng is not None
+    if use_dropout:
+        my = jax.lax.axis_index(axis_name)
+        r_in, r_out = jax.random.split(jax.random.fold_in(rng, my))
+    else:
+        r_in, r_out = None, None
 
     v_in, v_out = jnp.split(linear(params["lin_V"], e_ln), 2, axis=-1)
     v_in = v_in.reshape(b, i_loc, n, d, h)
@@ -242,6 +280,8 @@ def triplet_aggregate_ring(params, e_local: jnp.ndarray,
             * jax.nn.sigmoid(g_in + mask_local)
     else:
         a_in = jax.nn.softmax(e_in + mask_local, axis=2)
+    if r_in is not None:
+        a_in = dropout(r_in, a_in, attention_dropout, deterministic=False)
     va_in = ring_aggregate_direction(a_in, v_in, axis_name)
 
     # out direction: pair-transposed weights/V (all_to_all), then same ring.
@@ -253,6 +293,8 @@ def triplet_aggregate_ring(params, e_local: jnp.ndarray,
             * jax.nn.sigmoid(_pair_transpose_bias(g_out, axis_name))
     else:
         a_out = jax.nn.softmax(e_out_t, axis=2)
+    if r_out is not None:
+        a_out = dropout(r_out, a_out, attention_dropout, deterministic=False)
     v_out_t = _pair_transpose(v_out, axis_name)
     va_out = ring_aggregate_direction(a_out, v_out_t, axis_name)
 

@@ -200,7 +200,11 @@ class Trainer:
 
         The batch axis pads up to a multiple of the data-axis size first —
         sharded device_put needs exact divisibility and padded rows already
-        carry zero sample weight (pad_batch_dim's discipline)."""
+        carry zero sample weight. Same zero-pad discipline as
+        data/collate.pad_batch_dim (kept separate because device batches may
+        contain 0-d per-batch metadata, e.g. finetune's 'bins_sample', which
+        pad_batch_dim's pad-every-key contract would reject; if the padding
+        semantics ever change, change BOTH)."""
         if self.mesh is None:
             return device_batch
         from tgt_tpu.parallel.mesh import DATA_AXIS, make_global_batch
@@ -320,11 +324,24 @@ class Trainer:
             if accum <= 1:
                 return grad_of(params, batch, rng)
 
+            # per-sample arrays are the ones sharing the batch's leading dim
+            # (key-agnostic, SHAPE-exact: scalars and per-batch metadata like
+            # finetune's 'bins_sample' broadcast to every micro-batch).
+            # Using == batch_size rather than "% accum == 0" so metadata with
+            # a coincidentally divisible leading dim is never mis-split.
+            if "node_features" in batch:     # canonical per-sample key
+                batch_size = batch["node_features"].shape[0]
+            else:
+                batch_size = max((v.shape[0] for v in batch.values()
+                                  if jnp.ndim(v) >= 1), default=0)
+            if batch_size % accum != 0:
+                raise ValueError(
+                    f"grad_accum_steps={accum} must divide the (possibly "
+                    f"mesh-padded) batch size {batch_size}; silent fallback "
+                    "would run the FULL batch per micro-step")
+
             def splittable(x):
-                # scalars / per-batch metadata (e.g. finetune's 'bins_sample')
-                # broadcast to every micro-batch instead of splitting
-                return jnp.ndim(x) >= 1 and x.shape[0] % accum == 0 \
-                    and x.shape[0] > 0
+                return jnp.ndim(x) >= 1 and x.shape[0] == batch_size
 
             def split(x):
                 b = x.shape[0]
@@ -494,8 +511,11 @@ class Trainer:
         use_mesh = self.mesh is not None and jax.process_count() == 1
         if self.mesh is not None and not use_mesh:
             # params arrive replicated over the global mesh; pull a host copy
-            # so the local eval jit doesn't mix global and local arrays
-            params = jax.device_get(params)
+            # so the local eval jit doesn't mix global and local arrays, and
+            # pin it to a local device ONCE (uncommitted numpy args would be
+            # re-transferred on every eval batch — ~400MB/batch at flagship)
+            params = jax.device_put(jax.device_get(params),
+                                    jax.local_devices()[0])
         for i, batch in enumerate(loader):
             device_batch = self.scheme.device_batch(batch, training=False)
             if use_mesh:
