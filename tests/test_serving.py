@@ -132,3 +132,18 @@ class TestServingPipeline:
         out = pred.predict(mols)
         assert out.shape[0] == 2 and out.shape[1] == 16
         assert np.all(np.isfinite(out))
+
+
+class TestServingCompilationCache:
+    def test_cache_dir_populated_and_reused(self, tmp_path):
+        """compilation_cache_dir persists compiled shapes so a restarted
+        serving process skips the per-bucket warmup compiles."""
+        import os
+        cache = str(tmp_path / "serve_cache")
+        init, _ = make_model("gap")
+        params = init(jax.random.PRNGKey(0), CFG)
+        p = GapPredictor(params, CFG, mc_samples=2, batch_size=4,
+                         buckets=(12,), compilation_cache_dir=cache)
+        gaps = p.predict(molecules())
+        assert np.all(np.isfinite(gaps))
+        assert os.listdir(cache), "no executables persisted"
