@@ -33,6 +33,11 @@ FEATURES = {
 FEATURES["h32"] = dict(num_heads=32)
 FEATURES["h32_all"] = dict(num_heads=32, source_dropout=0.3, drop_path=0.2,
                            node_act_dropout=0.1, edge_act_dropout=0.1)
+# aggregate-variant A/B vs benchmarks/sweep.py (which blocks per step and
+# skips the optimizer): same model, pipelined donated-state harness
+FEATURES["agg64"] = dict(triplet_type="aggregate")
+FEATURES["agg32"] = dict(triplet_type="aggregate", num_heads=32)
+FEATURES["egt"] = dict(triplet_heads=0)
 
 
 def run_one(name, overrides, steps):

@@ -57,11 +57,18 @@ def measure(b, n, triplet, reps=5, layers=24, triplet_type="attention", use_pall
     g = grad_fn(params, dist(0), jax.random.PRNGKey(0))
     jax.tree.leaves(g)[0].block_until_ready()
     compile_s = time.time() - t0
-    t0 = time.time()
-    for i in range(reps):
-        g = grad_fn(params, dist(i + 1), jax.random.PRNGKey(i))
+    # PIPELINED measurement (block once at the end, two passes, min):
+    # blocking per step pays the tunnel's 3-7 ms dispatch round trip per
+    # step, which overstated short steps by up to 80% (EGT measured 66 ms
+    # blocking vs 36.2 ms pipelined; TGT-Ag 96.5 vs 71.1 — 2026-08-17)
+    times = []
+    for p in range(2):
+        t0 = time.time()
+        for i in range(reps):
+            g = grad_fn(params, dist(p * reps + i + 1), jax.random.PRNGKey(i))
         jax.tree.leaves(g)[0].block_until_ready()
-    dt = (time.time() - t0) / reps
+        times.append((time.time() - t0) / reps)
+    dt = min(times)
     return {"b": b, "n": n, "triplet": triplet, "type": triplet_type,
             "pallas": use_pallas, "remat": remat,
             "layers": layers, "step_ms": round(dt * 1000, 1),
