@@ -38,6 +38,9 @@ FEATURES["h32_all"] = dict(num_heads=32, source_dropout=0.3, drop_path=0.2,
 FEATURES["agg64"] = dict(triplet_type="aggregate")
 FEATURES["agg32"] = dict(triplet_type="aggregate", num_heads=32)
 FEATURES["egt"] = dict(triplet_heads=0)
+# the PUBLISHED TGT-Agx2 architecture: 12 layers x2 weight-shared reps
+FEATURES["agx2"] = dict(triplet_type="aggregate", model_height=12,
+                        layer_multiplier=2)
 
 
 def run_one(name, overrides, steps):
