@@ -35,5 +35,11 @@ def enable_compilation_cache(cache_dir: Optional[str]) -> bool:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        if _enabled_dir is not None:
+            # jax initializes its cache object lazily and then latches it;
+            # re-pointing mid-process (tests, multi-model services) needs an
+            # explicit reset or writes keep going to the old directory
+            from jax._src import compilation_cache as _cc
+            _cc.reset_cache()
         _enabled_dir = cache_dir
     return True
