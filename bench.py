@@ -14,12 +14,79 @@ import argparse
 import functools
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# ---------------------------------------------------------------------------
+# Unkillable-output machinery (VERDICT r2 #1). The driver runs this script
+# under `timeout` and parses the LAST JSON line of stdout; round 2 recorded
+# nothing because the only print sat after a hang. Defense in depth:
+#   1. every milestone prints a provisional, flushed JSON line (last wins);
+#   2. a DAEMON-THREAD wall-clock watchdog emits best-so-far JSON and
+#      os._exit()s before the driver's kill. A thread, not signal.alarm:
+#      the observed hang modes block the MAIN thread inside native jax /
+#      tunnel calls, where CPython defers signal handlers indefinitely
+#      (measured: SIGTERM from `timeout 30` sat undelivered for minutes);
+#   3. SIGTERM handler as a second line for hangs in pure-Python code;
+#   4. the stale-TPU-claim retry loop is bounded and raises instead of
+#      looping forever, which routes into the same JSON emission.
+# ---------------------------------------------------------------------------
+
+_BEST = {
+    "metric": "graphs/sec/chip (TGT-At 102M train step)",
+    "value": 0.0,
+    "unit": "graphs/s",
+    "vs_baseline": None,
+    "partial": True,
+    "stage": "startup",
+}
+
+
+def _emit():
+    sys.stdout.write(json.dumps(_BEST) + "\n")
+    sys.stdout.flush()
+
+
+def _update(stage, **kw):
+    _BEST["stage"] = stage
+    _BEST.update(kw)
+    _emit()
+
+
+def _on_signal(signum, frame):
+    _BEST["stage"] = _BEST.get("stage", "") + f"/killed-by-{signum}"
+    _emit()
+    os._exit(0 if _BEST["value"] else 1)
+
+
+signal.signal(signal.SIGTERM, _on_signal)
+
+_DEADLINE = [None]  # wall-clock time after which the watchdog fires
+
+
+def _watchdog():
+    while True:
+        time.sleep(2)
+        dl = _DEADLINE[0]
+        if dl is None:
+            continue
+        if dl == "off":
+            return
+        if time.time() >= dl:
+            _BEST["stage"] = _BEST.get("stage", "") + "/watchdog-timeout"
+            _emit()
+            os._exit(0 if _BEST["value"] else 1)
+
+
+def _arm_watchdog(budget_s):
+    import threading
+    _DEADLINE[0] = time.time() + budget_s
+    threading.Thread(target=_watchdog, daemon=True).start()
 
 
 def _enable_compile_cache():
@@ -149,20 +216,36 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("TGT_BENCH_BUDGET", 1020)),
+                    help="wall-clock watchdog (s); emits best-so-far JSON "
+                         "and exits when it fires")
     args = ap.parse_args()
+
+    _arm_watchdog(max(30, int(args.budget)))
+    _update("importing-jax")
 
     import jax
     import jax.numpy as jnp
 
     _enable_compile_cache()
-    # the TPU tunnel admits one process at a time; retry if another process
-    # holds a stale claim
-    for attempt in range(5):
+    # the TPU tunnel admits one process at a time; retry (bounded) if another
+    # process holds a stale claim, then RAISE so the error-JSON path runs
+    # instead of hanging into the driver's timeout
+    last_err = None
+    for attempt in range(4):
         try:
+            _update("acquiring-tpu", attempt=attempt + 1)
             jax.devices()
+            last_err = None
             break
-        except RuntimeError:
-            time.sleep(45)
+        except RuntimeError as exc:
+            last_err = exc
+            _update("waiting-for-tpu-claim", attempt=attempt + 1)
+            time.sleep(40)
+    if last_err is not None:
+        raise RuntimeError(f"TPU claim never released: {last_err}")
+    _update("tpu-acquired", device=str(jax.devices()[0]))
 
     step, params, opt_state, bsz, n, pool = build(args.small)
     rs = np.random.RandomState(1)
@@ -174,26 +257,47 @@ def main():
         rng = jax.random.fold_in(jax.random.key(7, impl='rbg'), i)
         return step(params, opt_state, idx, rng)
 
+    metric_name = ("graphs/sec/chip (TGT-At 102M train step, b=%d N=%d, bf16)"
+                   % (bsz, n) if not args.small else
+                   "graphs/sec/chip (small model, b=%d N=%d)" % (bsz, n))
+    _BEST["metric"] = metric_name
+
+    def record_pass(dt_pass, stage):
+        """Provisional result from one timed pass — last JSON line wins, so
+        each better measurement overwrites the previous one."""
+        gps = args.steps * bsz / dt_pass
+        if gps > _BEST["value"]:
+            _BEST["value"] = round(gps, 3)
+            _BEST["vs_baseline"] = (round(gps / 37.8, 3)
+                                    if not args.small else None)
+        _update(stage, unit="graphs/s")
+
     # warmup / compile
     t0 = time.time()
     params, opt_state, loss = one(0)
     loss.block_until_ready()
     compile_s = time.time() - t0
+    _update("compiled", compile_s=round(compile_s, 1))
+    t0 = time.time()
     params, opt_state, loss = one(1)
     loss.block_until_ready()
+    # even the (slow) second warmup step yields a defensible lower bound:
+    # scale its single-step time up to a full pass
+    record_pass((time.time() - t0) * args.steps, "warmed")
 
     # two timed passes, keep the best: the first executions of a fresh
     # executable through the tunnel read slow (CLAUDE.md measurement rule);
     # steady-state throughput is what the soak run confirms end-to-end
     dts = []
     k = 2
-    for _ in range(2):
+    for p in range(2):
         t0 = time.time()
         for i in range(args.steps):
             params, opt_state, loss = one(k)
             k += 1
         loss.block_until_ready()
         dts.append(time.time() - t0)
+        record_pass(dts[-1], f"timed-pass-{p + 1}")
     dt = min(dts)
     loss_val = float(loss)
 
@@ -218,9 +322,7 @@ def main():
     sol_bandwidth = (achieved_gbps / hbm_peak_gbps) if achieved_gbps else None
 
     result = {
-        "metric": "graphs/sec/chip (TGT-At 102M train step, b=%d N=%d, bf16)"
-                  % (bsz, n) if not args.small else
-                  "graphs/sec/chip (small model, b=%d N=%d)" % (bsz, n),
+        "metric": metric_name,
         "value": round(graphs_per_s, 3),
         "unit": "graphs/s",
         # the reference publishes no throughput numbers (BASELINE.md), so
@@ -228,6 +330,7 @@ def main():
         "vs_baseline": (round(graphs_per_s / 37.8, 3)
                         if not args.small else None),
         "extra": {
+            "cache_hit": compile_s < 60.0,
             "pair_entries_per_s": round(pair_entries_per_s, 1),
             "step_ms": round(dt / args.steps * 1000, 2),
             "compile_s": round(compile_s, 1),
@@ -246,15 +349,18 @@ def main():
                               if sol_bandwidth else None),
         },
     }
-    print(json.dumps(result))
+    _DEADLINE[0] = "off"  # measurement done; don't clip the tail
+    _BEST.clear()
+    _BEST.update(result)
+    _emit()
 
 
 if __name__ == "__main__":
     try:
         main()
-    except Exception as exc:  # emit a parseable line even on failure
-        print(json.dumps({"metric": "graphs/sec/chip (TGT-At 102M train step)",
-                          "value": 0.0, "unit": "graphs/s",
-                          "vs_baseline": None,
-                          "error": f"{type(exc).__name__}: {exc}"[:300]}))
+    except BaseException as exc:  # emit a parseable line even on failure
+        if isinstance(exc, SystemExit) and not exc.code:
+            raise
+        _BEST["error"] = f"{type(exc).__name__}: {exc}"[:300]
+        _emit()
         raise SystemExit(1)

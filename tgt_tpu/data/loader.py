@@ -111,6 +111,13 @@ class SizeBucketedTrainSampler:
     def __iter__(self) -> Iterator[List[int]]:
         rs = np.random.RandomState(self.seed + self.epoch)
         idx = np.arange(self.start, self.end)
+        # out-of-shard entries of a cache-ranged dataset's `sizes` are -1;
+        # reading one here means the sampler slice and the dataset's cache
+        # range disagree — fail loudly rather than mis-bucket
+        if len(idx) and self.sizes[idx].min() < 0:
+            raise ValueError(
+                f"sampler slice [{self.start},{self.end}) reads sizes "
+                f"outside the dataset's cached shard (found -1 sentinel)")
         if len(idx) < self.per_rank and len(idx) > 0:
             idx = np.concatenate([idx, idx[:self.per_rank - len(idx)]])
         pools: Dict[int, List[int]] = {}

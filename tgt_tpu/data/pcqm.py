@@ -193,12 +193,13 @@ class PCQM4Mv2Dataset:
     def sizes(self) -> np.ndarray:
         """Per-position node counts, indexed by GLOBAL position (full split
         length). With a per-rank cache range only the loaded shard's entries
-        are filled (samplers only read their own slice). Used by
-        size-bucketed batching."""
+        are filled (samplers only read their own slice); out-of-shard
+        entries are -1 so a future global reader fails loudly (the samplers
+        assert non-negative) instead of seeing fake empty molecules."""
         local = self.records["num_nodes"].to_numpy()
         if self.index_offset == 0 and len(local) == self.dataset_length:
             return local
-        full = np.zeros(self.dataset_length, local.dtype)
+        full = np.full(self.dataset_length, -1, np.int64)
         full[self.index_offset:self.index_offset + len(local)] = local
         return full
 

@@ -173,14 +173,113 @@ def _mol2graph(mol) -> Dict:
             "edge_features": np.asarray(edge_feats, np.int64).reshape(-1, 3)}
 
 
-def prepare_rdkit_coords(dataset_dir: str, num_confs: int = 40,
-                         seed: int = 4242) -> None:
-    """ETKDG conformer generation for every record
-    (reference prepare_rdkit_coords.py:121-263). Requires rdkit."""
+def select_min_energy_conf(opt_results) -> int:
+    """Index of the conformer to keep from MMFFOptimizeMoleculeConfs output.
+
+    The reference (prepare_rdkit_coords.py:139) takes
+    ``min(enumerate(res), key=lambda x: x[1])`` over the (not_converged,
+    energy) tuples — tuple order means a CONVERGED conformer (flag 0) always
+    beats a non-converged one (flag 1), then lowest energy wins."""
+    if not opt_results:
+        raise ValueError("no conformers to select from")
+    index, _ = min(enumerate(opt_results), key=lambda x: x[1])
+    return index
+
+
+def mol_to_rdkit_coords(mol, num_confs: int = 40, *, chem=None,
+                        allchem=None) -> np.ndarray:
+    """3D coordinates for one molecule via ETKDG + MMFF.
+
+    Reference semantics (prepare_rdkit_coords.py:121-150):
+    - AddHs -> EmbedMultipleConfs(numConfs=40) -> MMFFOptimizeMoleculeConfs
+      -> RemoveHs -> keep the min-(converged, energy) conformer;
+    - ANY exception falls back to Compute2DCoords on the original mol;
+    - a leading dummy atom (atomic number 0) yields all-zero coords;
+    - coords truncated to the heavy-atom count, float32.
+
+    ``chem``/``allchem`` are injectable for hermetic tests; default to the
+    real rdkit modules."""
+    if chem is None or allchem is None:
+        from rdkit import Chem as chem
+        from rdkit.Chem import AllChem as allchem
     try:
-        import rdkit  # noqa: F401 — presence check
+        new_mol = chem.AddHs(mol)
+        allchem.EmbedMultipleConfs(new_mol, numConfs=num_confs, numThreads=0)
+        res = allchem.MMFFOptimizeMoleculeConfs(new_mol, numThreads=0)
+        new_mol = chem.RemoveHs(new_mol)
+        conf = new_mol.GetConformer(id=select_min_energy_conf(res))
+    except Exception:
+        new_mol = mol
+        allchem.Compute2DCoords(new_mol)
+        conf = new_mol.GetConformer()
+
+    n = new_mol.GetNumAtoms()
+    if new_mol.GetAtomWithIdx(0).GetAtomicNum() == 0:
+        return np.zeros((n, 3), np.float32)
+    return np.asarray(conf.GetPositions())[:n].astype(np.float32)
+
+
+def prepare_rdkit_coords(raw_dir: str, out_dir: Optional[str] = None,
+                         num_confs: int = 40,
+                         progress: bool = True) -> str:
+    """ETKDG conformer generation for every PCQM4Mv2 molecule ->
+    ``rdkit_coords.parquet`` (reference prepare_rdkit_coords.py:153-263).
+
+    Train molecules come from the OGB SDF (H-stripped, then re-embedded);
+    valid/test-dev molecules from their SMILES. Requires rdkit + ogb.
+    Returns the parquet path.
+    """
+    try:
+        from ogb.lsc import PCQM4Mv2Dataset as OGBDataset
+        from rdkit import Chem
+        from rdkit.Chem import AllChem
     except ImportError as e:
-        raise ImportError("prepare_rdkit_coords requires rdkit") from e
-    raise NotImplementedError(
-        "full RDKit conformer pipeline requires the raw SMILES table; "
-        "run against a prepared raw_dir (see prepare_pcqm4mv2)")
+        raise ImportError(
+            "prepare_rdkit_coords needs ogb and rdkit (not installed in "
+            "this environment)") from e
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = out_dir or raw_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    def track(it, desc):
+        if not progress:
+            return it
+        try:
+            from tqdm import tqdm
+            return tqdm(it, desc=desc)
+        except ImportError:
+            return it
+
+    idx_col: List[int] = []
+    coords_col: List[List[float]] = []
+
+    # training split: molecules from the SDF, all Hs removed first
+    # (reference process_sdf, prepare_rdkit_coords.py:153-183)
+    sdf_path = os.path.join(raw_dir, "pcqm4m-v2-train.sdf")
+    for i, mol in enumerate(track(Chem.SDMolSupplier(sdf_path), "sdf")):
+        mol = Chem.RemoveAllHs(mol)
+        idx_col.append(i)
+        coords_col.append(mol_to_rdkit_coords(
+            mol, num_confs, chem=Chem, allchem=AllChem).ravel().tolist())
+
+    # valid/test-dev: molecules from SMILES (reference process_dataset,
+    # prepare_rdkit_coords.py:186-223) — same index alignment guard
+    dataset = OGBDataset(root=raw_dir, only_smiles=True)
+    split = dataset.get_idx_split()
+    if not np.array_equal(np.asarray(split["train"]), np.asarray(idx_col)):
+        raise ValueError("SDF molecule order does not match the OGB train "
+                         "split (reference prepare_rdkit_coords.py:205)")
+    for name in ("valid", "test-dev"):
+        for idx in track(split[name], name):
+            smiles, _ = dataset[int(idx)]
+            mol = Chem.MolFromSmiles(smiles)
+            idx_col.append(int(idx))
+            coords_col.append(mol_to_rdkit_coords(
+                mol, num_confs, chem=Chem, allchem=AllChem).ravel().tolist())
+
+    path = os.path.join(out_dir, "rdkit_coords.parquet")
+    pq.write_table(pa.table({"idx": idx_col, "rdkit_coords": coords_col}),
+                   path)
+    return path

@@ -37,6 +37,17 @@ def make_mesh(num_data: Optional[int] = None, num_pair: int = 1,
     return Mesh(devices.reshape(num_data, num_pair), (DATA_AXIS, PAIR_AXIS))
 
 
+# Batch keys that hold (b, N, N, ...) node-pair tensors — the only ones
+# eligible for 'pair' sharding. Keyed explicitly (not by square-shape
+# heuristics) so a coincidentally square non-pair tensor — e.g. a bins stack
+# whose sample axis equals N — is never silently mis-sharded.
+# (note: finetune/gap_pred's 'dist_bins' is (b, S, N, N) — dim 1 is the MC
+# sample axis, not a node axis — so it is deliberately NOT in this set)
+PAIR_TENSOR_KEYS = frozenset({
+    "distance_matrix", "feature_matrix", "dist_input", "edge_mask",
+})
+
+
 def batch_sharding(mesh: Mesh, pair_shard: bool = False) -> Dict[str, NamedSharding]:
     """NamedShardings for a batch dict: leading axis over 'data'; with
     ``pair_shard``, the first node axis of pair tensors also shards."""
@@ -47,13 +58,10 @@ def batch_sharding(mesh: Mesh, pair_shard: bool = False) -> Dict[str, NamedShard
     data_only = ns(DATA_AXIS)
     if not pair_shard:
         return {"__default__": data_only}
-    return {
-        "__default__": data_only,
-        "distance_matrix": ns(DATA_AXIS, PAIR_AXIS),
-        "feature_matrix": ns(DATA_AXIS, PAIR_AXIS),
-        "dist_input": ns(DATA_AXIS, PAIR_AXIS),
-        "edge_mask": ns(DATA_AXIS, PAIR_AXIS),
-    }
+    out = {"__default__": data_only}
+    for k in PAIR_TENSOR_KEYS:
+        out[k] = ns(DATA_AXIS, PAIR_AXIS)
+    return out
 
 
 def shard_batch(mesh: Mesh, batch: Dict, pair_shard: bool = False) -> Dict:
@@ -70,21 +78,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def spec_for_array(v, num_pair: int = 1) -> P:
-    """PartitionSpec for one batch entry by shape: leading axis over 'data';
-    square (N, N) node-pair tensors additionally over 'pair' when the mesh
-    has a pair dimension; scalars/0-d metadata replicated."""
+def spec_for_array(v, num_pair: int = 1, key: Optional[str] = None,
+                   local_batch: Optional[int] = None) -> P:
+    """PartitionSpec for one batch entry.
+
+    Per-sample arrays (leading dim == the local batch size when known) shard
+    over 'data'; the canonical pair tensors (``PAIR_TENSOR_KEYS``, by name —
+    never by square-shape coincidence) additionally shard their first node
+    axis over 'pair'; scalars and shared (non-per-sample) arrays replicate.
+
+    ``local_batch``/``key`` are advisory: when omitted, every ndim>=1 array
+    is treated as per-sample (the historical behavior, correct for all
+    current scheme device batches, whose every array key is per-sample)."""
     ndim = np.ndim(v)
     if ndim == 0:
         return P()
     shape = np.shape(v)
-    if num_pair > 1 and ndim >= 3 and shape[1] == shape[2] \
-            and shape[1] % num_pair == 0:
+    if local_batch is not None and shape[0] != local_batch:
+        return P()  # shared array: replicate instead of mis-concatenating
+    if num_pair > 1 and key in PAIR_TENSOR_KEYS and ndim >= 3 \
+            and shape[1] == shape[2] and shape[1] % num_pair == 0:
         return P(DATA_AXIS, PAIR_AXIS)
     return P(DATA_AXIS)
 
 
-def make_global_batch(mesh: Mesh, batch: Dict, num_pair: int = 1) -> Dict:
+def make_global_batch(mesh: Mesh, batch: Dict, num_pair: int = 1,
+                      local_batch: Optional[int] = None) -> Dict:
     """Turn a host batch dict into globally-sharded device arrays.
 
     Single-process: a plain device_put with the standard shardings.
@@ -92,13 +111,18 @@ def make_global_batch(mesh: Mesh, batch: Dict, num_pair: int = 1) -> Dict:
     batch (the distributed samplers already give each process a distinct
     shard) via ``jax.make_array_from_process_local_data`` — the jax-native
     replacement for DDP's per-rank batches (reference training.py:149-153).
+
+    ``local_batch``: the per-process sample count; arrays whose leading dim
+    differs are treated as shared and replicated (identical on every
+    process) rather than concatenated across ranks.
     """
     multiproc = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
-        sharding = NamedSharding(mesh, spec_for_array(v, num_pair))
+        spec = spec_for_array(v, num_pair, key=k, local_batch=local_batch)
+        sharding = NamedSharding(mesh, spec)
         arr = np.asarray(v)
-        if multiproc and np.ndim(arr) >= 1:
+        if multiproc and np.ndim(arr) >= 1 and spec != P():
             out[k] = jax.make_array_from_process_local_data(sharding, arr)
         elif multiproc:
             out[k] = jax.make_array_from_callback(

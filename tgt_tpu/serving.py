@@ -32,6 +32,11 @@ from tgt_tpu.schemes.commons import bins2dist, coords2dist
 
 class _BasePredictor:
     MODEL = "gap"
+    # Output axes that are per-node (and thus bucket-size-dependent),
+    # declared per subclass — NOT inferred from shape squareness, which
+    # would zero-pad a non-node axis that coincidentally equals the padded
+    # node count (e.g. an mc-sample or bin axis equal to a bucket size).
+    NODE_AXES: tuple = ()
 
     def __init__(self, params, model_cfg: TGTConfig, mc_samples: int = 10,
                  batch_size: int = 16, buckets: Sequence[int] = (16, 32, 48, 64),
@@ -144,9 +149,11 @@ class _BasePredictor:
 
         outs = [(idx, np.asarray(out)[:n_real])
                 for idx, out, n_real in pending]
-        # per-molecule node axes may differ across buckets; zero-pad to the
-        # largest before scattering back into input order
-        n_max = max((o.shape[1] for _, o in outs if o.ndim >= 2), default=0)
+        # per-molecule node axes may differ across buckets; zero-pad the
+        # DECLARED node axes to the largest before scattering back into
+        # input order
+        n_max = max((o.shape[a] for _, o in outs for a in self.NODE_AXES
+                     if o.ndim > a), default=0)
         result = None
         for idx, out in outs:
             out = self._pad_nodes(out, n_max)
@@ -155,16 +162,15 @@ class _BasePredictor:
             result[idx] = out
         return result
 
-    @staticmethod
-    def _pad_nodes(out: np.ndarray, n_max: int) -> np.ndarray:
-        """Zero-pad per-node output axes (1 and, if square, 2) to n_max."""
-        if out.ndim < 2 or out.shape[1] >= n_max:
-            return out
+    def _pad_nodes(self, out: np.ndarray, n_max: int) -> np.ndarray:
+        """Zero-pad this predictor's declared per-node axes to n_max."""
         pad = [(0, 0)] * out.ndim
-        pad[1] = (0, n_max - out.shape[1])
-        if out.ndim >= 3 and out.shape[2] == out.shape[1]:
-            pad[2] = (0, n_max - out.shape[2])
-        return np.pad(out, pad)
+        grew = False
+        for a in self.NODE_AXES:
+            if out.ndim > a and out.shape[a] < n_max:
+                pad[a] = (0, n_max - out.shape[a])
+                grew = True
+        return np.pad(out, pad) if grew else out
 
 
 class GapPredictor(_BasePredictor):
@@ -202,6 +208,7 @@ class DistancePredictor(_BasePredictor):
     """Interatomic distance-bin probabilities from RDKit coords."""
 
     MODEL = "distance"
+    NODE_AXES = (1, 2)  # output is (b, N, N, bins)
 
     def _feed_of(self, batch):
         feed = {k: batch[k] for k in ("node_features", "distance_matrix",

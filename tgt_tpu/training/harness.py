@@ -207,12 +207,19 @@ class Trainer:
         semantics ever change, change BOTH)."""
         if self.mesh is None:
             return device_batch
+        import math
         from tgt_tpu.parallel.mesh import DATA_AXIS, make_global_batch
         nd = self.mesh.shape[DATA_AXIS]
+        # pad to a multiple of lcm(data-axis, grad_accum_steps): divisibility
+        # by nd alone could turn a previously accum-divisible uneven final
+        # batch into one that trips accumulated_grad's divisibility check
+        # (e.g. host batch 6, accum 3, 4 data devices -> 8, 8 % 3 != 0)
+        accum = int(getattr(self.cfg, "grad_accum_steps", 1) or 1)
+        quantum = math.lcm(nd, max(1, accum))
         lead = [np.shape(v)[0] for v in device_batch.values()
                 if np.ndim(v) >= 1]
         b = max(lead) if lead else 0
-        target = -(-b // nd) * nd if b else 0
+        target = -(-b // quantum) * quantum if b else 0
         if target != b:
             def pad_rows(v):
                 v = np.asarray(v)
@@ -221,7 +228,8 @@ class Trainer:
                     return np.concatenate([v, pad], axis=0)
                 return v
             device_batch = {k: pad_rows(v) for k, v in device_batch.items()}
-        return make_global_batch(self.mesh, device_batch, self.num_pair)
+        return make_global_batch(self.mesh, device_batch, self.num_pair,
+                                 local_batch=(target or None))
 
     def _make_key(self, seed: int) -> jax.Array:
         """Root PRNG key honouring cfg.rng_impl.
