@@ -24,14 +24,23 @@ CASES = {
     "distance_attention": ("distance", "attention"),
     "multi_triangular": ("multi", "triangular_update"),
     "gap_axial": ("gap", "axial_attention"),
+    # published geometry (SURVEY §6.2): catches head-packing/reshape drift
+    # that only appears at production widths (VERDICT r2 #4)
+    "flagship_distance_attention": ("distance", "attention"),
+    "flagship_gap_aggregate": ("gap", "aggregate"),
 }
 
 
 def compute(case):
     model_name, tt = CASES[case]
-    cfg = TGTConfig(node_width=32, edge_width=16, num_heads=4, model_height=3,
-                    triplet_heads=2, triplet_type=tt, num_dist_bins=8,
-                    upto_hop=16)
+    if case.startswith("flagship_"):
+        cfg = TGTConfig(node_width=768, edge_width=256, num_heads=64,
+                        model_height=2, triplet_heads=16, triplet_type=tt,
+                        num_dist_bins=256, upto_hop=32)
+    else:
+        cfg = TGTConfig(node_width=32, edge_width=16, num_heads=4,
+                        model_height=3, triplet_heads=2, triplet_type=tt,
+                        num_dist_bins=8, upto_hop=16)
     init, apply = make_model(model_name)
     params = init(jax.random.PRNGKey(42), cfg)
     batch = make_synthetic_batch(jax.random.PRNGKey(0), b=2, n=8, seed=99)
