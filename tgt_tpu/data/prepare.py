@@ -34,11 +34,13 @@ def train3d_split(train_indices: np.ndarray,
                   holdout: int = TRAIN3D_HOLDOUT,
                   seed: int = TRAIN3D_SEED):
     """Deterministic train-3d/valid-3d holdout matching the reference
-    (sklearn train_test_split with random_state=777777)."""
+    (sklearn train_test_split with random_state=777777, then SORTED —
+    prepare_data.py:270-274 sorts both index arrays in place before saving,
+    so bit-for-bit splits.npz parity requires the sort)."""
     from sklearn.model_selection import train_test_split
     tr, va = train_test_split(train_indices, test_size=holdout,
                               random_state=seed)
-    return np.asarray(tr), np.asarray(va)
+    return np.sort(np.asarray(tr)), np.sort(np.asarray(va))
 
 
 def write_dataset(records: Iterable[Dict], out_dir: str,
@@ -125,29 +127,56 @@ def prepare_pcqm4mv2(raw_dir: str, out_dir: str) -> None:
             "run on a machine with ogb+rdkit") from e
 
     ogb_ds = OGBDataset(root=raw_dir, only_smiles=True)
-    split = ogb_ds.get_idx_split()
     sdf_path = os.path.join(raw_dir, "pcqm4m-v2-train.sdf")
     supplier = Chem.SDMolSupplier(sdf_path, removeHs=True)
+    records, splits = build_pcqm_records(ogb_ds, supplier, smiles2graph)
+    write_dataset(records, out_dir, coords_names=("dft",), splits=splits)
 
+
+def build_pcqm_records(ogb_ds, supplier, smiles2graph, mol2graph=None):
+    """Core prep loop with injectable deps (hermetically rehearsed against a
+    hand-built SDF-like fixture in tests/test_rdkit_prep.py).
+
+    Reference semantics (prepare_data.py:216-279):
+    - train molecules come from the SDF supplier IN ORDER and must align
+      1:1 with the OGB train split (assert at :237);
+    - valid/test-dev molecules are built from SMILES;
+    - train-3d/valid-3d = sorted train_test_split(78606 @ 777777).
+    Returns (records list, splits dict) for ``write_dataset``.
+    """
+    split = ogb_ds.get_idx_split()
+    n_sdf = len(supplier)
+    train_idx = np.asarray(split["train"])
+    if not np.array_equal(train_idx, np.arange(n_sdf)):
+        raise ValueError(
+            f"SDF molecule count/order ({n_sdf}) does not match the OGB "
+            f"train split ({len(train_idx)} idx) — reference "
+            f"prepare_data.py:237 asserts exact alignment")
+
+    mol2graph = mol2graph or _mol2graph
     records = []
     for i, (smiles, target) in enumerate(ogb_ds):
-        if i < len(supplier):  # train molecules come from the SDF (3D)
+        if i < n_sdf:  # train molecules come from the SDF (3D)
             mol = supplier[i]
-            g = _mol2graph(mol)
-            g["dft_coords"] = mol.GetConformer().GetPositions().astype(
-                np.float32)
+            g = mol2graph(mol)
+            g["dft_coords"] = np.asarray(
+                mol.GetConformer().GetPositions(), np.float32)
         else:
             g = _ogb_graph(smiles2graph(smiles))
         g["idx"] = i
         g["target"] = target
         records.append(g)
 
-    train3d, valid3d = train3d_split(np.asarray(split["train"]))
-    splits = {"train": np.asarray(split["train"]),
+    # real PCQM has 3,378,606 train molecules; scale the holdout down for
+    # fixture-sized inputs so the rehearsal path is identical
+    holdout = TRAIN3D_HOLDOUT if len(train_idx) > TRAIN3D_HOLDOUT \
+        else max(1, len(train_idx) // 4)
+    train3d, valid3d = train3d_split(train_idx, holdout=holdout)
+    splits = {"train": train_idx,
               "valid": np.asarray(split["valid"]),
               "test-dev": np.asarray(split["test-dev"]),
               "train-3d": train3d, "valid-3d": valid3d}
-    write_dataset(records, out_dir, coords_names=("dft",), splits=splits)
+    return records, splits
 
 
 def _ogb_graph(g) -> Dict:
