@@ -50,6 +50,10 @@ def main():
                     help="molecules per request")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--cache-dir", default=None)
+    ap.add_argument("--mc-mode", default="map",
+                    choices=["auto", "map", "vmap"],
+                    help="MC-draw schedule: sequential lax.map vs "
+                         "vmap-over-draws (VERDICT r2 #8 lever)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -72,7 +76,8 @@ def main():
     params = gap_model_init(jax.random.PRNGKey(0), cfg)
     pred = GapPredictor(params, cfg, mc_samples=args.mc,
                         batch_size=args.batch, buckets=(16, 32, 48),
-                        compilation_cache_dir=args.cache_dir)
+                        compilation_cache_dir=args.cache_dir,
+                        mc_mode=args.mc_mode)
 
     t0 = time.time()
     pred.warmup()

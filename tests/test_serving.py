@@ -37,6 +37,22 @@ class TestGapPredictor:
                           buckets=(12, 16), seed=5)
         np.testing.assert_array_equal(p2.predict(molecules()), gaps)
 
+    def test_mc_vmap_matches_map(self):
+        """vmap-over-draws is a pure scheduling change: identical keys ->
+        bitwise-same math as the sequential lax.map, any bucket size."""
+        init, _ = make_model("gap")
+        params = init(jax.random.PRNGKey(0), CFG)
+        kw = dict(mc_samples=3, batch_size=4, buckets=(12, 16), seed=5)
+        g_map = GapPredictor(params, CFG, mc_mode="map", **kw).predict(
+            molecules())
+        g_vmap = GapPredictor(params, CFG, mc_mode="vmap", **kw).predict(
+            molecules())
+        np.testing.assert_allclose(g_vmap, g_map, rtol=1e-5, atol=1e-5)
+        g_auto = GapPredictor(params, CFG, **kw).predict(molecules())
+        np.testing.assert_allclose(g_auto, g_map, rtol=1e-5, atol=1e-5)
+        with pytest.raises(ValueError, match="mc_mode"):
+            GapPredictor(params, CFG, mc_mode="bogus", **kw)
+
     def test_batch_size_independence(self):
         """Results must not depend on how requests are batched (bucketing +
         masking correctness at the serving surface)."""

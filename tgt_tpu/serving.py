@@ -40,7 +40,8 @@ class _BasePredictor:
 
     def __init__(self, params, model_cfg: TGTConfig, mc_samples: int = 10,
                  batch_size: int = 16, buckets: Sequence[int] = (16, 32, 48, 64),
-                 seed: int = 0, compilation_cache_dir: Optional[str] = None):
+                 seed: int = 0, compilation_cache_dir: Optional[str] = None,
+                 mc_mode: str = "auto", mc_vmap_max_nodes: int = 32):
         # persistent executable cache: a restarted serving process skips the
         # per-bucket compiles entirely (warmup() then costs ~ms per shape)
         from tgt_tpu.utils.compile_cache import enable_compilation_cache
@@ -50,10 +51,28 @@ class _BasePredictor:
         self.mc_samples = mc_samples
         self.batch_size = batch_size
         self.buckets = tuple(buckets)
+        # MC-draw scheduling: 'map' = sequential lax.map (lowest memory),
+        # 'vmap' = all draws batched into one device program (highest
+        # throughput while activations fit), 'auto' = vmap for buckets up to
+        # mc_vmap_max_nodes, map above. Decided per compiled shape — the
+        # bucket size is static at trace time.
+        if mc_mode not in ("auto", "map", "vmap"):
+            raise ValueError(f"mc_mode must be auto|map|vmap, got {mc_mode}")
+        self.mc_mode = mc_mode
+        self.mc_vmap_max_nodes = mc_vmap_max_nodes
         self._transform = AddStructuralData()
         self._rng = jax.random.PRNGKey(seed)
         _, self.apply = make_model(self.MODEL)
         self._jitted = jax.jit(self._mc_forward)
+
+    def _mc_schedule(self, feed):
+        """lax.map or vmap over MC draws for this (static) feed shape."""
+        if self.mc_mode == "map":
+            return jax.lax.map
+        n = feed["node_features"].shape[1]
+        if self.mc_mode == "vmap" or n <= self.mc_vmap_max_nodes:
+            return lambda f, xs: jax.vmap(f)(xs)
+        return jax.lax.map
 
     @classmethod
     def from_model_dir(cls, model_dir: str, mc_samples: int = 10,
@@ -86,7 +105,7 @@ class _BasePredictor:
             return self.apply(params, feed, self.cfg, deterministic=False,
                               rng=key)
 
-        outs = jax.lax.map(one, keys)
+        outs = self._mc_schedule(feed)(one, keys)
         return jnp.mean(outs.astype(jnp.float32), axis=0)
 
     # -- host side --------------------------------------------------------
@@ -235,4 +254,4 @@ class DistancePredictor(_BasePredictor):
             p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             return p + jnp.swapaxes(p, -2, -3)
 
-        return jnp.mean(jax.lax.map(one, keys), axis=0) / 2.0
+        return jnp.mean(self._mc_schedule(feed)(one, keys), axis=0) / 2.0
