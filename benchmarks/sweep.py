@@ -83,11 +83,14 @@ if __name__ == "__main__":
     ap.add_argument("--type", default="attention")
     ap.add_argument("--layers", type=int, default=24)
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--dense", action="store_true",
+                    help="lane-dense Mosaic triplet kernel (use_pallas='dense')")
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--out", default="/tmp/sweep_results.jsonl")
     args = ap.parse_args()
     r = measure(args.b, args.n, not args.no_triplet, layers=args.layers,
-                triplet_type=args.type, use_pallas=args.pallas,
+                triplet_type=args.type,
+                use_pallas=("dense" if args.dense else args.pallas),
                 remat=not args.no_remat)
     print(json.dumps(r))
     with open(args.out, "a") as f:

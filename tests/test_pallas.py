@@ -102,6 +102,75 @@ class TestTripletAttentionKernel:
         assert np.all(np.isfinite(np.asarray(out)))
 
 
+class TestTripletDenseKernel:
+    """Lane-dense Mosaic kernel (ops/pallas/triplet_dense.py) vs jnp oracle."""
+
+    @pytest.fixture(scope="class")
+    def dense_inputs(self):
+        # geometry satisfying the kernel's 128-lane density contract:
+        # n*h = 128, d*h = 128, n % JBLK == 0
+        b, n, w, h = 2, 16, 128, 8
+        p = triplet_attention_init(jax.random.PRNGKey(0), w, h, gated=True)
+        pu = triplet_attention_init(jax.random.PRNGKey(1), w, h, gated=False)
+        e = jax.random.normal(jax.random.PRNGKey(2), (b, n, n, w))
+        node_mask = np.ones((b, n), np.float32)
+        node_mask[1, 11:] = 0
+        mask = additive_mask_from_node_mask(jnp.asarray(node_mask))
+        return p, pu, e, mask, h
+
+    def test_supported_geometries(self):
+        from tgt_tpu.ops.pallas.triplet_dense import dense_supported
+        # every production bucket at flagship triplet geometry
+        assert all(dense_supported(n, 256, 16) for n in (16, 32, 48, 64))
+        assert not dense_supported(12, 256, 16)   # n % JBLK
+        assert not dense_supported(16, 32, 4)     # lanes not 128-dense
+
+    @pytest.mark.parametrize("gated", [True, False])
+    def test_forward_matches_jnp(self, dense_inputs, gated):
+        from tgt_tpu.ops.pallas.triplet_dense import triplet_attention_dense
+        p, pu, e, mask, h = dense_inputs
+        if gated:
+            ref = triplet_attention(p, e, mask, num_heads=h)
+            got = triplet_attention_dense(p, e, mask, num_heads=h, gated=True)
+        else:
+            ref = triplet_attention_ungated(pu, e, mask, num_heads=h)
+            got = triplet_attention_dense(pu, e, mask, num_heads=h,
+                                          gated=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gradients_match(self, dense_inputs):
+        from tgt_tpu.ops.pallas.triplet_dense import triplet_attention_dense
+        p, _, e, mask, h = dense_inputs
+
+        def loss(fn, pp, ee):
+            return (fn(pp, ee, mask, num_heads=h) ** 2).sum()
+
+        g_ref = jax.grad(loss, argnums=(1, 2))(triplet_attention, p, e)
+        g_den = jax.grad(loss, argnums=(1, 2))(
+            functools.partial(triplet_attention_dense, gated=True), p, e)
+        for a, b_ in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_den)):
+            a, b_ = np.asarray(a), np.asarray(b_)
+            scale = np.abs(a).max() + 1e-9
+            np.testing.assert_allclose(b_ / scale, a / scale, rtol=0,
+                                       atol=1e-4)
+
+    def test_dense_via_use_pallas_flag(self, dense_inputs):
+        """use_pallas='dense' routes through _triplet_attention_impl."""
+        p, _, e, mask, h = dense_inputs
+        ref = triplet_attention(p, e, mask, num_heads=h)
+        got = triplet_attention(p, e, mask, num_heads=h, use_pallas="dense")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_unsupported_geometry_falls_back(self, inputs):
+        """n=12 violates the density contract -> jnp path, same numbers."""
+        p, _, e, mask, h = inputs
+        ref = triplet_attention(p, e, mask, num_heads=h)
+        got = triplet_attention(p, e, mask, num_heads=h, use_pallas="dense")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 class TestModelIntegration:
     def test_full_model_with_pallas_matches_jnp(self, inputs):
         """use_pallas=True through the encoder flag (interpret mode)."""
@@ -117,3 +186,19 @@ class TestModelIntegration:
         fused = apply(params, batch, cfg.replace(use_pallas=True))
         np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                    rtol=5e-3, atol=5e-3)
+
+    def test_full_model_with_dense_kernel_matches_jnp(self):
+        """use_pallas='dense' through the encoder flag at a geometry the
+        dense kernel accepts (n*h = d*h = 128)."""
+        from tests.conftest import make_synthetic_batch
+        from tgt_tpu.models import TGTConfig, make_model
+        cfg = TGTConfig(node_width=32, edge_width=128, num_heads=4,
+                        model_height=2, triplet_heads=8,
+                        triplet_type="attention", num_dist_bins=8)
+        init, apply = make_model("gap")
+        params = init(jax.random.PRNGKey(0), cfg)
+        batch = make_synthetic_batch(jax.random.PRNGKey(0), b=2, n=16, seed=4)
+        ref = apply(params, batch, cfg)
+        dense = apply(params, batch, cfg.replace(use_pallas="dense"))
+        np.testing.assert_allclose(np.asarray(dense), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)

@@ -65,7 +65,12 @@ class TGTConfig:
     #             skipping the softmax-chain recompute in backward
     remat_policy: str = "none"
     use_scan: bool = True             # lax.scan over uniform layers
-    use_pallas: bool = False          # fused Pallas kernels for hot ops
+    # Triplet-attention kernel selection: False = jnp/XLA (default, wins at
+    # small b), True/'fused' = VMEM-blocked kernel (ops/pallas/
+    # triplet_attention.py), 'dense' = lane-dense Mosaic kernel with zero
+    # N^3 HBM traffic (ops/pallas/triplet_dense.py; requires N*H and d*H
+    # multiples of 128, falls back to jnp otherwise)
+    use_pallas: object = False
 
     @property
     def triplet_enabled(self) -> bool:

@@ -1,0 +1,322 @@
+"""Lane-DENSE fused Mosaic kernel for triplet attention (round-3 design).
+
+Why: at flagship shapes (N=48, H=16 triplet heads, d=16) the XLA path keeps
+the O(N^3) logits in HBM with the node axis k in the lane (minor) dimension —
+48 lanes padded to 128, a 2.67x physical inflation on every N^3 byte, which
+DESIGN.md's roofline isolates as the reason TGT-At runs at 30% of HBM
+speed-of-light while the N^2-only EGT stack runs at 94%. This kernel keeps
+the N^3 data lane-dense end-to-end and never writes any N^3 tensor to HBM.
+
+Layout ("k-major" lane packing): logits tiles are (i, k*H + h) — at the
+flagship geometry 48 x 768 lanes, an exact multiple of the 128-lane vreg.
+Value/query panels are (i, d*H + h) = 48 x 256. Requirements: N*H % 128 == 0
+and d*H % 128 == 0 (all production buckets 16/32/48/64 with H=16 qualify;
+the wrapper falls back to the jnp path otherwise).
+
+Matmuls use the MXU via h-BLOCK-DIAGONAL operands built in VMEM with zero
+transposes: an operand like K_big[(d,h'),(k,h)] = K[k,d,h] * (h'==h) is an
+element-row-repeat (broadcast+reshape, free-ish) of a pre-packed (d, k*H+h)
+panel times a constant iota mask. The 16x MAC-slot waste of the block
+diagonal is affordable because the dense FLOPs are tiny (0.23 GMAC per
+layer-direction); what the kernel buys is the elimination of ~1.5 GB/layer
+of padded N^3 HBM traffic and relayout copies.
+
+Exact segment softmax: the max over k within each head's lane group uses
+circular `pltpu.roll` doubling in lane steps of H*2^t — rolls by multiples
+of H keep h fixed while circulating k, and max is idempotent so the
+overlapping windows converge to the exact per-(i,h) max in ceil(log2(N))
+steps. The denominator (not idempotent) is an MXU product with a constant
+(k*H+h, h) selector, broadcast back with a tile-like `pltpu.repeat`.
+
+Semantics match ops/triplet._triplet_attention_impl (reference:
+lib/tgt/layers/triplet.py:205-250) without attention dropout (the published
+configs run triplet dropout 0; the wrapper falls back to jnp otherwise).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+JBLK = 16  # j-block per grid step (divides every production bucket)
+
+
+def _hmask(rows: int, cols: int, h: int, dtype):
+    """(rows, cols) 0/1 mask selecting (row % h) == (col % h)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    return ((r % h) == (c % h)).astype(dtype)
+
+
+def _sel(kh: int, h: int, dtype):
+    """(kh, h) selector: sel[k*h + h', h''] = (h' == h'')."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (kh, h), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (kh, h), 1)
+    return ((r % h) == c).astype(dtype)
+
+
+def _brep(x, times: int):
+    """Element-repeat rows: (r, c) -> (r*times, c), row i = x[i // times]."""
+    r, c = x.shape
+    return jnp.broadcast_to(x[:, None, :], (r, times, c)).reshape(r * times, c)
+
+
+def _seg_max(s, h: int, n: int):
+    """Exact per-(row, h) max over the k groups of a (rows, n*h) k-major
+    tile via circular roll doubling (max is idempotent, so overlap is
+    harmless once the window covers n groups)."""
+    m = s
+    span = 1
+    while span < n:
+        m = jnp.maximum(m, pltpu.roll(m, shift=span * h, axis=1))
+        span *= 2
+    return m
+
+
+def _dot(a, b, dtype):
+    return jax.lax.dot_general(
+        a.astype(dtype), b.astype(dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _dot_t(a, b, dtype):
+    """Contract dim 0 of both: (m, x)^T @ (m, y) -> (x, y)."""
+    return jax.lax.dot_general(
+        a.astype(dtype), b.astype(dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _attn_tile(qp, kfl, biasp, gatep, h, n, dtype):
+    """Shared forward math for one j: returns (p_exp, recip_denom, a).
+
+    p_exp: exp(s - segmax) (N, N*H) f32; recip: (N, H) f32; a: gated
+    UNNORMALIZED weights (N, N*H) f32."""
+    kbig = _brep(kfl, h) * _hmask(kfl.shape[0] * h, n * h, h, kfl.dtype)
+    s = _dot(qp, kbig, dtype) + biasp
+    p = jnp.exp(s - _seg_max(s, h, n))
+    recip = 1.0 / _dot(p, _sel(n * h, h, dtype), dtype)
+    a = p * jax.nn.sigmoid(gatep) if gatep is not None else p
+    return p, recip, a
+
+
+def _fwd_kernel(qp_ref, kfl_ref, vp_ref, biasp_ref, gatep_ref, va_ref, *,
+                h: int, gated: bool):
+    n = qp_ref.shape[2]
+    dh = qp_ref.shape[3]
+    dtype = qp_ref.dtype
+    biasp = biasp_ref[0].astype(jnp.float32)
+    gatep = gatep_ref[0].astype(jnp.float32) if gated else None
+    av_mask = _hmask(n * h, dh, h, dtype)
+
+    def body(j, _):
+        _, recip, a = _attn_tile(qp_ref[0, j], kfl_ref[0, j], biasp, gatep,
+                                 h, n, dtype)
+        vbig = _brep(vp_ref[0, j], h) * av_mask
+        va_u = _dot(a, vbig, dtype)
+        va_ref[0, j] = (va_u * pltpu.repeat(recip, dh // h, axis=1)
+                        ).astype(va_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, qp_ref.shape[1], body, 0)
+
+
+def _bwd_kernel(qp_ref, kfl_ref, vp_ref, kp_ref, vfl_ref, biasp_ref,
+                gatep_ref, dva_ref, dqp_ref, dkp_ref, dvp_ref, dbias_ref,
+                dgate_ref, *, h: int, gated: bool):
+    n = qp_ref.shape[2]
+    dh = qp_ref.shape[3]
+    d = dh // h
+    dtype = qp_ref.dtype
+    biasp = biasp_ref[0].astype(jnp.float32)
+    gatep = gatep_ref[0].astype(jnp.float32) if gated else None
+    g = jax.nn.sigmoid(gatep) if gated else None
+    qk_mask = _hmask(dh, n * h, h, dtype)
+    av_mask = _hmask(n * h, dh, h, dtype)
+    sel = _sel(n * h, h, jnp.float32)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+        if gated:
+            dgate_ref[0] = jnp.zeros_like(dgate_ref[0])
+
+    def body(j, _):
+        qp = qp_ref[0, j]
+        p, recip, _ = _attn_tile(qp, kfl_ref[0, j], biasp, gatep, h, n, dtype)
+        pn = p * pltpu.repeat(recip, n, axis=1)        # normalized probs
+        a = pn * g if gated else pn
+        dva = dva_ref[0, j].astype(jnp.float32)
+
+        # dA = dva @ V^T (h-block-diag from the (d, k*H+h) panel)
+        vtbig = _brep(vfl_ref[0, j], h) * qk_mask
+        da = _dot(dva, vtbig, dtype)
+        if gated:
+            dgate_ref[0] += (da * pn * g * (1.0 - g)).astype(dgate_ref.dtype)
+            dp = da * g
+        else:
+            dp = da
+        rs = _dot(dp * pn, sel, jnp.float32)           # (N, H) rowsum over k
+        ds = pn * (dp - pltpu.repeat(rs, n, axis=1))
+        dbias_ref[0] += ds.astype(dbias_ref.dtype)
+
+        ktbig = _brep(kp_ref[0, j], h) * av_mask       # (N*H, D*H)
+        dqp_ref[0, j] = _dot(ds, ktbig, dtype).astype(dqp_ref.dtype)
+
+        dkfull = _dot_t(ds, qp, dtype) * av_mask       # (N*H, D*H)
+        dkp_ref[0, j] = jnp.sum(dkfull.reshape(n, h, dh),
+                                axis=1).astype(dkp_ref.dtype)
+        dvfull = _dot_t(a, dva, dtype) * av_mask
+        dvp_ref[0, j] = jnp.sum(dvfull.reshape(n, h, dh),
+                                axis=1).astype(dvp_ref.dtype)
+        return 0
+
+    del d
+    jax.lax.fori_loop(0, qp_ref.shape[1], body, 0)
+
+
+# ---------------------------------------------------------------------------
+# packing (XLA side, all N^2-sized relayouts)
+# ---------------------------------------------------------------------------
+
+def _pack(q, k, v, bias, gate):
+    """(b,n,n,d,h)/(b,n,n,h) -> lane-dense kernel panels."""
+    b, n, _, d, h = q.shape
+    qp = q.transpose(0, 2, 1, 3, 4).reshape(b, n, n, d * h)   # [b,j,i,(dh)]
+    kfl = k.transpose(0, 1, 3, 2, 4).reshape(b, n, d, n * h)  # [b,j,d,(kh)]
+    vp = v.reshape(b, n, n, d * h)                            # [b,j,k,(dh)]
+    biasp = bias.reshape(b, n, n * h)                         # [b,i,(kh)]
+    gatep = gate.reshape(b, n, n * h) if gate is not None else None
+    return qp, kfl, vp, biasp, gatep
+
+
+def _specs(n, d, dh, kh):
+    blk = pl.BlockSpec((1, JBLK, n, dh), lambda bb, jc: (bb, jc, 0, 0))
+    kfl_blk = pl.BlockSpec((1, JBLK, d, kh), lambda bb, jc: (bb, jc, 0, 0))
+    bias_blk = pl.BlockSpec((1, n, kh), lambda bb, jc: (bb, 0, 0))
+    return blk, kfl_blk, bias_blk
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _dense_core(q, k, v, bias, gate, gated, interpret):
+    va, _ = _dense_core_fwd(q, k, v, bias, gate, gated, interpret)
+    return va
+
+
+def _call_fwd(qp, kfl, vp, biasp, gatep, gated, interpret):
+    b, nj, n, dh = qp.shape
+    kh = biasp.shape[-1]
+    h = kh // n
+    blk, kfl_blk, bias_blk = _specs(n, dh // h, dh, kh)
+    gate_in = gatep if gated else biasp  # placeholder ref when ungated
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, h=h, gated=gated),
+        grid=(b, nj // JBLK),
+        in_specs=[blk, kfl_blk, blk, bias_blk, bias_blk],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct(qp.shape, qp.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(qp, kfl, vp, biasp, gate_in)
+
+
+def _dense_core_fwd(q, k, v, bias, gate, gated, interpret):
+    qp, kfl, vp, biasp, gatep = _pack(q, k, v, bias, gate)
+    va = _call_fwd(qp, kfl, vp, biasp, gatep, gated, interpret)
+    return va, (q, k, v, bias, gate)
+
+
+def _dense_core_bwd(gated, interpret, res, dva):
+    q, k, v, bias, gate = res
+    b, n, _, d, h = q.shape
+    qp, kfl, vp, biasp, gatep = _pack(q, k, v, bias, gate)
+    kp = k.reshape(b, n, n, d * h)                            # [b,j,k,(dh)]
+    vfl = v.transpose(0, 1, 3, 2, 4).reshape(b, n, d, n * h)  # [b,j,d,(kh)]
+    kh = n * h
+    blk, kfl_blk, bias_blk = _specs(n, d, d * h, kh)
+    gate_in = gatep if gated else biasp
+    dqp, dkp, dvp, dbias, dgate = pl.pallas_call(
+        functools.partial(_bwd_kernel, h=h, gated=gated),
+        grid=(b, n // JBLK),
+        in_specs=[blk, kfl_blk, blk, blk, kfl_blk, bias_blk, bias_blk, blk],
+        out_specs=[blk, blk, blk, bias_blk, bias_blk],
+        out_shape=[
+            jax.ShapeDtypeStruct(qp.shape, qp.dtype),
+            jax.ShapeDtypeStruct(kp.shape, kp.dtype),
+            jax.ShapeDtypeStruct(vp.shape, vp.dtype),
+            jax.ShapeDtypeStruct(biasp.shape, jnp.float32),
+            jax.ShapeDtypeStruct(biasp.shape, jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(qp, kfl, vp, kp, vfl, biasp, gate_in, dva)
+
+    # unpack to the (b,n,n,d,h) primal layouts
+    dq = dqp.reshape(b, n, n, d, h).transpose(0, 2, 1, 3, 4)
+    dk = dkp.reshape(b, n, n, d, h)
+    dv = dvp.reshape(b, n, n, d, h)
+    dbias = dbias.reshape(b, n, n, h).astype(bias.dtype)
+    dgate = (dgate.reshape(b, n, n, h).astype(gate.dtype) if gated else None)
+    return dq, dk, dv, dbias, dgate
+
+
+_dense_core.defvjp(_dense_core_fwd, _dense_core_bwd)
+
+
+def dense_supported(n: int, edge_width: int, num_heads: int) -> bool:
+    d = edge_width // num_heads
+    return (n * num_heads) % 128 == 0 and (d * num_heads) % 128 == 0 \
+        and n % JBLK == 0
+
+
+def triplet_attention_dense(p, e, mask, *, num_heads: int, gated: bool = True,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Drop-in lane-dense fused triplet attention (both directions).
+
+    Same parameters/semantics as ops/triplet.triplet_attention with
+    attention dropout 0. Projections + split lin_O run in XLA; the whole
+    N^3 logits/softmax/gate/AV chain runs in the kernel with zero N^3 HBM
+    traffic.
+    """
+    from tgt_tpu.ops.common import layernorm, linear
+
+    b, n, _, w = e.shape
+    h = num_heads
+    d = w // h
+    scale = d ** -0.5
+    e_ln = layernorm(p["tri_ln_e"], e)
+    w_o = p["lin_O"]["w"].astype(e.dtype)
+    w_o = w_o.reshape(d, 2 * h, w_o.shape[1])
+
+    def direction(which, w_dir, transpose_pair):
+        q, k, v = jnp.split(linear(p[f"lin_QKV_{which}"], e_ln), 3, axis=-1)
+        q = q.reshape(b, n, n, d, h) * scale
+        k = k.reshape(b, n, n, d, h)
+        v = v.reshape(b, n, n, d, h)
+        if gated:
+            e_b, g_b = jnp.split(linear(p[f"lin_EG_{which}"], e_ln), 2,
+                                 axis=-1)
+        else:
+            e_b = linear(p[f"lin_E_{which}"], e_ln)
+            g_b = None
+        m = mask
+        if transpose_pair:
+            k = jnp.swapaxes(k, 1, 2)
+            v = jnp.swapaxes(v, 1, 2)
+            e_b = jnp.swapaxes(e_b, 1, 2)
+            g_b = None if g_b is None else jnp.swapaxes(g_b, 1, 2)
+            m = jnp.swapaxes(mask, 1, 2)
+        bias = e_b + m
+        gate = (g_b + m) if gated else None
+        va = _dense_core(q, k, v, bias, gate, gated, interpret)
+        # va: (b, j, i, (d*H+h)) -> contract split lin_O -> (b, j, i, w)
+        va = va.reshape(b, n, n, d, h)
+        return jnp.einsum("bjidh,dhw->bjiw", va, w_dir)
+
+    out_t = (direction("in", w_o[:, :h], False)
+             + direction("out", w_o[:, h:], True))
+    return jnp.swapaxes(out_t, 1, 2) + p["lin_O"]["b"].astype(e.dtype)

@@ -217,9 +217,19 @@ def triplet_attention_init(rng: jax.Array, edge_width: int, num_heads: int,
 def _triplet_attention_impl(p, e, mask, *, num_heads, gated, attention_dropout,
                             deterministic, rng, use_pallas=False):
     if use_pallas and (deterministic or attention_dropout == 0.0):
-        from tgt_tpu.ops.pallas.triplet_attention import triplet_attention_fused
-        return triplet_attention_fused(p, e, mask, num_heads=num_heads,
-                                       gated=gated)
+        if use_pallas == "dense":
+            from tgt_tpu.ops.pallas.triplet_dense import (
+                dense_supported, triplet_attention_dense)
+            if dense_supported(e.shape[1], e.shape[-1], num_heads):
+                return triplet_attention_dense(p, e, mask,
+                                               num_heads=num_heads,
+                                               gated=gated)
+            # unsupported geometry: fall through to the jnp path
+        else:
+            from tgt_tpu.ops.pallas.triplet_attention import (
+                triplet_attention_fused)
+            return triplet_attention_fused(p, e, mask, num_heads=num_heads,
+                                           gated=gated)
     b, n, _, w = e.shape
     d = w // num_heads
     scale = d ** -0.5
