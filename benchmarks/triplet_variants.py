@@ -300,10 +300,20 @@ def spell_v6(p, e, mask, *, num_heads):
     return jnp.swapaxes(out_t, 1, 2) + p["lin_O"]["b"].astype(e.dtype)
 
 
+def spell_dense(p, e, mask, *, num_heads):
+    """Round-3 lane-dense fused Mosaic kernel (ops/pallas/triplet_dense.py):
+    the whole N^3 chain in VMEM, zero N^3 HBM traffic."""
+    import jax
+    from tgt_tpu.ops.pallas.triplet_dense import triplet_attention_dense
+    return triplet_attention_dense(p, e, mask, num_heads=num_heads,
+                                   gated=True,
+                                   interpret=jax.default_backend() == "cpu")
+
+
 SPELLS = {"v0_hminor": spell_v0, "v1_khminor": spell_v1,
           "v2_stacked": spell_v2, "v3_stacked_khminor": spell_v3,
           "v4_split_linO": spell_v4, "v5_native_dot": spell_v5,
-          "v6_folded_T": spell_v6,
+          "v6_folded_T": spell_v6, "dense_kernel": spell_dense,
           "prod": spell_prod}
 
 
