@@ -73,7 +73,17 @@ def spell_v1_native(p, e, mask, *, num_heads):
     return out + p["lin_O"]["b"].astype(e.dtype)
 
 
-SPELLS = {"prod": spell_prod, "v1_native": spell_v1_native}
+def spell_dense(p, e, mask, *, num_heads):
+    """Round-3 lane-dense fused aggregation kernel (triplet_dense.py)."""
+    import jax
+    from tgt_tpu.ops.pallas.triplet_dense import triplet_aggregate_dense
+    return triplet_aggregate_dense(p, e, mask, num_heads=num_heads,
+                                   gated=True,
+                                   interpret=jax.default_backend() == "cpu")
+
+
+SPELLS = {"prod": spell_prod, "v1_native": spell_v1_native,
+          "dense_kernel": spell_dense}
 
 
 def main():

@@ -171,6 +171,64 @@ class TestTripletDenseKernel:
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+class TestAggregateDenseKernel:
+    """Lane-dense k-aggregation for the aggregate variants."""
+
+    @pytest.fixture(scope="class")
+    def agg_inputs(self):
+        from tgt_tpu.ops.triplet import triplet_aggregate_init
+        b, n, w, h = 2, 16, 128, 8
+        p = triplet_aggregate_init(jax.random.PRNGKey(0), w, h, gated=True)
+        pu = triplet_aggregate_init(jax.random.PRNGKey(1), w, h, gated=False)
+        e = jax.random.normal(jax.random.PRNGKey(2), (b, n, n, w))
+        node_mask = np.ones((b, n), np.float32)
+        node_mask[1, 11:] = 0
+        mask = additive_mask_from_node_mask(jnp.asarray(node_mask))
+        return p, pu, e, mask, h
+
+    @pytest.mark.parametrize("gated", [True, False])
+    def test_forward_matches_jnp(self, agg_inputs, gated):
+        from tgt_tpu.ops.triplet import (triplet_aggregate,
+                                         triplet_aggregate_ungated)
+        p, pu, e, mask, h = agg_inputs
+        fn = triplet_aggregate if gated else triplet_aggregate_ungated
+        pp = p if gated else pu
+        ref = fn(pp, e, mask, num_heads=h)
+        got = fn(pp, e, mask, num_heads=h, use_pallas="dense")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gradients_match(self, agg_inputs):
+        from tgt_tpu.ops.triplet import triplet_aggregate
+        p, _, e, mask, h = agg_inputs
+
+        def loss(use_pallas, pp, ee):
+            return (triplet_aggregate(pp, ee, mask, num_heads=h,
+                                      use_pallas=use_pallas) ** 2).sum()
+
+        g_ref = jax.grad(functools.partial(loss, False),
+                         argnums=(0, 1))(p, e)
+        g_den = jax.grad(functools.partial(loss, "dense"),
+                         argnums=(0, 1))(p, e)
+        for a, b_ in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_den)):
+            a, b_ = np.asarray(a), np.asarray(b_)
+            scale = np.abs(a).max() + 1e-9
+            np.testing.assert_allclose(b_ / scale, a / scale, rtol=0,
+                                       atol=1e-4)
+
+    def test_dropout_supported(self, agg_inputs):
+        """Aggregate-dense keeps dropout in XLA -> exact same masks/numbers
+        as the jnp path for the same key."""
+        from tgt_tpu.ops.triplet import triplet_aggregate
+        p, _, e, mask, h = agg_inputs
+        kw = dict(num_heads=h, attention_dropout=0.3, deterministic=False,
+                  rng=jax.random.PRNGKey(7))
+        ref = triplet_aggregate(p, e, mask, **kw)
+        got = triplet_aggregate(p, e, mask, use_pallas="dense", **kw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
 class TestModelIntegration:
     def test_full_model_with_pallas_matches_jnp(self, inputs):
         """use_pallas=True through the encoder flag (interpret mode)."""

@@ -102,6 +102,9 @@ def tgt_layer_apply(p: Dict[str, Any], g: Graph, cfg: TGTConfig,
             if cfg.use_pallas and cfg.triplet_type in ("attention",
                                                        "attention_ungated"):
                 tri_kwargs["use_pallas"] = cfg.use_pallas
+            elif cfg.use_pallas == "dense" and cfg.triplet_type in (
+                    "aggregate", "aggregate_ungated"):
+                tri_kwargs["use_pallas"] = "dense"
             tri = get_triplet_apply(cfg.triplet_type)(
                 p["tria"], e, mask, num_heads=cfg.triplet_heads,
                 attention_dropout=cfg.triplet_dropout,

@@ -267,6 +267,155 @@ def _dense_core_bwd(gated, interpret, res, dva):
 _dense_core.defvjp(_dense_core_fwd, _dense_core_bwd)
 
 
+# ---------------------------------------------------------------------------
+# aggregate variant: N^2 attention weights computed in XLA (softmax, gate,
+# dropout all stay outside), only the O(N^3) k-aggregation runs in the kernel
+# ---------------------------------------------------------------------------
+
+def _agg_fwd_kernel(ap_ref, vp_ref, va_ref, *, h: int):
+    n = vp_ref.shape[2]
+    dh = vp_ref.shape[3]
+    dtype = vp_ref.dtype
+    av_mask = _hmask(n * h, dh, h, dtype)
+    ap = ap_ref[0]
+
+    def body(j, _):
+        vbig = _brep(vp_ref[0, j], h) * av_mask
+        va_ref[0, j] = _dot(ap, vbig, dtype).astype(va_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, vp_ref.shape[1], body, 0)
+
+
+def _agg_bwd_kernel(ap_ref, vfl_ref, dva_ref, da_ref, dvp_ref, *, h: int):
+    n = dva_ref.shape[2]
+    dh = dva_ref.shape[3]
+    dtype = dva_ref.dtype
+    qk_mask = _hmask(dh, n * h, h, dtype)
+    av_mask = _hmask(n * h, dh, h, dtype)
+    ap = ap_ref[0]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        da_ref[0] = jnp.zeros_like(da_ref[0])
+
+    def body(j, _):
+        dva = dva_ref[0, j]
+        vtbig = _brep(vfl_ref[0, j], h) * qk_mask
+        da_ref[0] += _dot(dva, vtbig, dtype).astype(da_ref.dtype)
+        dvfull = _dot_t(ap, dva, dtype) * av_mask
+        dvp_ref[0, j] = jnp.sum(dvfull.reshape(n, h, dh),
+                                axis=1).astype(dvp_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, dva_ref.shape[1], body, 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _agg_core(ap, v, interpret):
+    va, _ = _agg_core_fwd(ap, v, interpret)
+    return va
+
+
+def _agg_core_fwd(ap, v, interpret):
+    b, n, _, d, h = v.shape
+    vp = v.reshape(b, n, n, d * h)
+    blk, _, bias_blk = _specs(n, d, d * h, n * h)
+    va = pl.pallas_call(
+        functools.partial(_agg_fwd_kernel, h=h),
+        grid=(b, n // JBLK),
+        in_specs=[bias_blk, blk],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct(vp.shape, vp.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(ap, vp)
+    return va, (ap, v)
+
+
+def _agg_core_bwd(interpret, res, dva):
+    ap, v = res
+    b, n, _, d, h = v.shape
+    vfl = v.transpose(0, 1, 3, 2, 4).reshape(b, n, d, n * h)
+    blk, kfl_blk, bias_blk = _specs(n, d, d * h, n * h)
+    da, dvp = pl.pallas_call(
+        functools.partial(_agg_bwd_kernel, h=h),
+        grid=(b, n // JBLK),
+        in_specs=[bias_blk, kfl_blk, blk],
+        out_specs=[bias_blk, blk],
+        out_shape=[
+            jax.ShapeDtypeStruct(ap.shape, jnp.float32),
+            jax.ShapeDtypeStruct((b, n, n, d * h), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(ap, vfl, dva)
+    return da.astype(ap.dtype), dvp.reshape(b, n, n, d, h)
+
+
+_agg_core.defvjp(_agg_core_fwd, _agg_core_bwd)
+
+
+def triplet_aggregate_dense(p, e, mask, *, num_heads: int, gated: bool = True,
+                            attention_dropout: float = 0.0,
+                            deterministic: bool = True, rng=None,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Lane-dense fused aggregation for the (un)gated aggregate variants.
+
+    The N^2 logits/softmax/gate/dropout stay in XLA (cheap, and keeps exact
+    dropout semantics); the O(N^3) k-aggregation runs in the kernel reading
+    v panels in their natural layout — no relayout copies, no conv-emitter
+    batched dots. Same parameters/semantics as ops/triplet.triplet_aggregate
+    (incl. the unmasked-out-direction quirk of the gated variant).
+    """
+    from tgt_tpu.ops.common import dropout, layernorm, linear
+
+    b, n, _, w = e.shape
+    h = num_heads
+    d = w // h
+    e_ln = layernorm(p["tri_ln_e"], e)
+    v_in, v_out = jnp.split(linear(p["lin_V"], e_ln), 2, axis=-1)
+    if gated:
+        e_in, g_in, e_out, g_out = jnp.split(linear(p["lin_EG"], e_ln), 4,
+                                             axis=-1)
+    else:
+        e_in, e_out = jnp.split(linear(p["lin_E"], e_ln), 2, axis=-1)
+        g_in = g_out = None
+    r_in, r_out = (None, None) if deterministic else jax.random.split(rng)
+    w_o = p["lin_O"]["w"].astype(e.dtype)
+    w_o = w_o.reshape(d, 2 * h, w_o.shape[1])
+
+    def direction(e_l, g_l, v, r_dir, w_dir, transpose_pair, masked):
+        if transpose_pair:
+            e_l = jnp.swapaxes(e_l, 1, 2)
+            g_l = None if g_l is None else jnp.swapaxes(g_l, 1, 2)
+            v = jnp.swapaxes(v, 1, 2)
+        m = (jnp.swapaxes(mask, 1, 2) if transpose_pair else mask) \
+            if masked else 0.0
+        a = jax.nn.softmax(e_l + m, axis=2)            # (b, i, k, h)
+        if g_l is not None:
+            a = a * jax.nn.sigmoid(g_l + m)
+        if not deterministic and attention_dropout > 0.0:
+            # draw the mask in the jnp path's (b,h,i,k) layout so both
+            # implementations are bitwise-identical for the same key
+            a = jnp.transpose(dropout(r_dir, jnp.transpose(a, (0, 3, 1, 2)),
+                                      attention_dropout, deterministic),
+                              (0, 2, 3, 1))
+        va = _agg_core(a.reshape(b, n, n * h),
+                       v.reshape(b, n, n, d, h), interpret)
+        va = va.reshape(b, n, n, d, h)
+        return jnp.einsum("bjidh,dhw->bjiw", va, w_dir)
+
+    # out-direction unmasked for the gated variant (reference quirk,
+    # triplet.py:63-64); the ungated variant masks both directions
+    out_t = (direction(e_in, g_in, v_in, r_in, w_o[:, :h], False, True)
+             + direction(e_out, g_out, v_out, r_out, w_o[:, h:], True,
+                         not gated))
+    return jnp.swapaxes(out_t, 1, 2) + p["lin_O"]["b"].astype(e.dtype)
+
+
 def dense_supported(n: int, edge_width: int, num_heads: int) -> bool:
     d = edge_width // num_heads
     return (n * num_heads) % 128 == 0 and (d * num_heads) % 128 == 0 \

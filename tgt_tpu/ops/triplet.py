@@ -65,10 +65,27 @@ def triplet_aggregate_init(rng: jax.Array, edge_width: int, num_heads: int,
     return p
 
 
+def _aggregate_dense_or_none(p, e, mask, *, num_heads, gated,
+                             attention_dropout, deterministic, rng,
+                             use_pallas):
+    """Route to the lane-dense kernel when requested and supported."""
+    if use_pallas != "dense":
+        return None
+    from tgt_tpu.ops.pallas.triplet_dense import (dense_supported,
+                                                  triplet_aggregate_dense)
+    if not dense_supported(e.shape[1], e.shape[-1], num_heads):
+        return None
+    return triplet_aggregate_dense(p, e, mask, num_heads=num_heads,
+                                   gated=gated,
+                                   attention_dropout=attention_dropout,
+                                   deterministic=deterministic, rng=rng)
+
+
 def triplet_aggregate(p: Dict[str, Params], e: jnp.ndarray, mask: jnp.ndarray,
                       *, num_heads: int, attention_dropout: float = 0.0,
                       deterministic: bool = True,
-                      rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                      rng: Optional[jax.Array] = None,
+                      use_pallas=False) -> jnp.ndarray:
     """Gated triplet aggregation (reference: triplet.py:22-73).
 
     Carried in XLA's NATIVE dot_general order end-to-end: the attention map
@@ -80,6 +97,13 @@ def triplet_aggregate(p: Dict[str, Params], e: jnp.ndarray, mask: jnp.ndarray,
     core (7.44 -> 6.06 ms fwd+bwd, TPU v5e, b=8 N=48;
     benchmarks/aggregate_variants.py); pure reassociation (f32 max err 6e-8).
     """
+    dense = _aggregate_dense_or_none(p, e, mask, num_heads=num_heads,
+                                     gated=True,
+                                     attention_dropout=attention_dropout,
+                                     deterministic=deterministic, rng=rng,
+                                     use_pallas=use_pallas)
+    if dense is not None:
+        return dense
     b, n, _, w = e.shape
     d = w // num_heads
     e_ln = layernorm(p["tri_ln_e"], e)
@@ -121,10 +145,18 @@ def triplet_aggregate_ungated(p: Dict[str, Params], e: jnp.ndarray,
                               mask: jnp.ndarray, *, num_heads: int,
                               attention_dropout: float = 0.0,
                               deterministic: bool = True,
-                              rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                              rng: Optional[jax.Array] = None,
+                              use_pallas=False) -> jnp.ndarray:
     """Ungated triplet aggregation (reference: triplet.py:77-127) — both
     directions masked here, unlike the gated variant. Same native dot-order
     layout as :func:`triplet_aggregate` (see its docstring)."""
+    dense = _aggregate_dense_or_none(p, e, mask, num_heads=num_heads,
+                                     gated=False,
+                                     attention_dropout=attention_dropout,
+                                     deterministic=deterministic, rng=rng,
+                                     use_pallas=use_pallas)
+    if dense is not None:
+        return dense
     b, n, _, w = e.shape
     d = w // num_heads
     e_ln = layernorm(p["tri_ln_e"], e)
