@@ -1,0 +1,47 @@
+#!/bin/bash
+# Round-3 TPU measurement campaign — run when the tunnel is back.
+# ONE TPU process at a time: every step runs sequentially under timeout.
+# Usage: bash benchmarks/r3_campaign.sh [outdir]  (default /tmp/r3_campaign)
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-/tmp/r3_campaign}
+mkdir -p "$OUT"
+log() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$OUT/campaign.log"; }
+
+run() { # name timeout cmd...
+  local name=$1 tmo=$2; shift 2
+  log "=== $name: $*"
+  timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
+  log "=== $name rc=$? (tail): $(tail -1 "$OUT/$name.log")"
+  sleep 35  # let any stale tunnel claim release
+}
+
+# 0. sanity: tunnel alive + bench hardening happy path
+run bench_small 600 python bench.py --small --budget 480
+
+# 1. THE driver artifact rehearsal: exact driver-style full bench
+run bench_full 1500 python bench.py --budget 1320
+
+# 2. isolated triplet-attention core: production spelling vs dense kernel
+run core_at 900 python benchmarks/triplet_variants.py \
+    --variants prod,dense_kernel --check --steps 20 --layers 4
+
+# 3. aggregate core: production vs dense kernel
+run core_ag 900 python benchmarks/aggregate_variants.py \
+    --variants prod,dense_kernel --steps 20 --layers 4
+
+# 4. full-step sweeps: baseline vs dense kernel (attention flagship)
+run sweep_base 1200 python benchmarks/sweep.py --b 8 --n 48
+run sweep_dense 1200 python benchmarks/sweep.py --b 8 --n 48 --dense
+
+# 5. aggregate full step with dense kernel
+run sweep_ag_dense 1200 python benchmarks/sweep.py --b 8 --n 48 \
+    --type aggregate --dense
+
+# 6. serving MC scheduling lever: map vs vmap (VERDICT r2 #8)
+run serving_map 1200 python benchmarks/serving_bench.py --mc-mode map \
+    --requests 4 --cache-dir /root/repo/.jax_cache
+run serving_vmap 1200 python benchmarks/serving_bench.py --mc-mode vmap \
+    --requests 4 --cache-dir /root/repo/.jax_cache
+
+log "campaign complete; results in $OUT"
