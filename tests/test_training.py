@@ -423,6 +423,31 @@ class TestGradAccumulation:
         result = trainer.fit(num_epochs=1)
         assert np.isfinite(result["history"][-1]["loss"])
 
+    def test_uneven_batch_pads_to_lcm_of_mesh_and_accum(self, tmp_path):
+        """An uneven final batch must pad to a size BOTH the data axis and
+        grad_accum_steps divide (host batch 6, accum 3, 8 data devices ->
+        pad to lcm(8,3)=24; padding only to 8 would trip accumulated_grad's
+        divisibility check at trace time)."""
+        scheme, trainer = make_trainer(PretrainScheme, tmp_path, "ga4",
+                                       batch_size=6, grad_accum_steps=3)
+        assert trainer.mesh is not None
+        batch = next(iter(scheme.train_loader(0, 0, 1)))
+        db = scheme.device_batch(batch)
+        lead = max(np.shape(v)[0] for v in db.values() if np.ndim(v) >= 1)
+        assert lead == 6
+        sharded = trainer.shard_device_batch(db)
+        for k, v in sharded.items():
+            if np.ndim(v) >= 1 and np.shape(v)[0] >= 6:
+                assert np.shape(v)[0] == 24, k
+        # and the jitted accumulated step actually runs on it
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        step = trainer.build_train_step()
+        import jax.numpy as jnp
+        new_state, metrics = step(trainer.shard_state(state), sharded,
+                                  jnp.asarray(0), jax.random.PRNGKey(1),
+                                  jnp.asarray(1.0))
+        assert np.isfinite(float(metrics["loss"]))
+
 
 class TestPredictInTrain:
     def test_dropout_off_eval_is_deterministic_across_samples(self, tmp_path):
