@@ -229,6 +229,31 @@ def main():
     import jax.numpy as jnp
 
     _enable_compile_cache()
+
+    # Fail FAST when the TPU relay itself is down (observed 2026-08-18:
+    # 127.0.0.1:8082/:8083 connection-refused for hours; the axon plugin
+    # retries the connect internally so jax.devices() hangs forever and
+    # only the watchdog would save us — after the whole budget). A TCP
+    # probe distinguishes "relay down" (clear error JSON in ~4 min) from
+    # "relay up but slow" (proceed; watchdog is the backstop).
+    def relay_port_open():
+        import socket
+        try:
+            with socket.create_connection(("127.0.0.1", 8083), timeout=5):
+                return True
+        except OSError:
+            return False
+
+    for attempt in range(8):
+        if relay_port_open():
+            break
+        _update("tpu-relay-port-closed", attempt=attempt + 1)
+        time.sleep(30)
+    else:
+        raise RuntimeError(
+            "TPU relay (127.0.0.1:8083) refused connections for ~4 min — "
+            "tunnel infrastructure down, not a code failure")
+
     # the TPU tunnel admits one process at a time; retry (bounded) if another
     # process holds a stale claim, then RAISE so the error-JSON path runs
     # instead of hanging into the driver's timeout
