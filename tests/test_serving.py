@@ -105,6 +105,47 @@ class TestDistancePredictor:
         np.testing.assert_allclose(probs, np.swapaxes(probs, 1, 2), atol=1e-5)
 
 
+class TestTwoStagePredictor:
+    def test_end_to_end_dist_to_gap(self):
+        """Full published protocol: coords -> dist bins -> bins2dist -> gap."""
+        from tgt_tpu.serving import TwoStagePredictor
+        dinit, _ = make_model("distance")
+        ginit, _ = make_model("gap")
+        dp = DistancePredictor(dinit(jax.random.PRNGKey(0), CFG), CFG,
+                               mc_samples=2, batch_size=4, buckets=(12, 16))
+        gp = GapPredictor(ginit(jax.random.PRNGKey(1), CFG), CFG,
+                          mc_samples=2, batch_size=4, buckets=(12, 16))
+        two = TwoStagePredictor(dp, gp)
+        mols = molecules(5)
+        gaps = two.predict(mols)
+        assert gaps.shape == (5,)
+        assert np.all(np.isfinite(gaps))
+
+    def test_distance_matrix_fed_to_gap_is_symmetric_zero_diag(self):
+        """The bins2dist round trip must produce a symmetric zero-diagonal
+        distance input (reference commons.py:72-82 semantics)."""
+        from tgt_tpu.serving import TwoStagePredictor
+        dinit, _ = make_model("distance")
+        ginit, _ = make_model("gap")
+        dp = DistancePredictor(dinit(jax.random.PRNGKey(0), CFG), CFG,
+                               mc_samples=1, batch_size=4, buckets=(12,))
+        gp = GapPredictor(ginit(jax.random.PRNGKey(1), CFG), CFG,
+                          mc_samples=1, batch_size=4, buckets=(12,))
+        seen = {}
+        orig = gp.predict
+
+        def spy(mols):
+            seen["d"] = [m["dist_input"] for m in mols]
+            return orig(mols)
+
+        gp.predict = spy
+        TwoStagePredictor(dp, gp).predict(molecules(3))
+        for d in seen["d"]:
+            np.testing.assert_allclose(d, d.T, atol=0)
+            np.testing.assert_allclose(np.diag(d), 0.0)
+            assert d.max() > 0
+
+
 class TestServingPipeline:
     def test_size_sorted_batching_preserves_order(self):
         """predict() groups by size internally but must return outputs in

@@ -223,6 +223,49 @@ class GapPredictor(_BasePredictor):
         return feed
 
 
+class TwoStagePredictor:
+    """The full published inference protocol as one served object:
+    molecule (+RDKit coords) -> distance predictor (MC softmax-averaged,
+    probability-symmetrized, argmax bins — reference
+    dist_pred/scheme.py:181-205) -> bins2dist (+0.5 shift, symmetrize,
+    zero diag — commons.py:72-82) -> gap predictor (MC-dropout averaged).
+
+        two = TwoStagePredictor.from_model_dirs(dist_dir, gap_dir)
+        gaps = two.predict(list_of_molecule_dicts)   # eV
+    """
+
+    def __init__(self, distance: "DistancePredictor", gap: "GapPredictor",
+                 num_bins: Optional[int] = None, range_bins: float = 8.0):
+        self.distance = distance
+        self.gap = gap
+        self.num_bins = num_bins or distance.cfg.num_dist_bins
+        self.range_bins = range_bins
+
+    @classmethod
+    def from_model_dirs(cls, dist_dir: str, gap_dir: str,
+                        range_bins: float = 8.0, **kw) -> "TwoStagePredictor":
+        return cls(DistancePredictor.from_model_dir(dist_dir, **kw),
+                   GapPredictor.from_model_dir(gap_dir, **kw),
+                   range_bins=range_bins)
+
+    def predict(self, molecules: List[Dict]) -> np.ndarray:
+        probs = self.distance.predict(molecules)      # (M, Nmax, Nmax, B)
+        bins = probs.argmax(-1)                       # symmetrized upstream
+        # bins2dist expects strict-upper-tri content (the packed on-disk
+        # convention) and symmetrizes internally
+        upper = np.triu(bins, k=1).astype(np.float32)
+        dist = np.asarray(bins2dist(jnp.asarray(upper), self.num_bins,
+                                    self.range_bins))
+        gap_mols = []
+        for mol, d in zip(molecules, dist):
+            n = int(mol["num_nodes"])
+            m2 = {k: v for k, v in mol.items()
+                  if k not in ("coords", "rdkit_coords", "dist_input")}
+            m2["dist_input"] = d[:n, :n]
+            gap_mols.append(m2)
+        return self.gap.predict(gap_mols)
+
+
 class DistancePredictor(_BasePredictor):
     """Interatomic distance-bin probabilities from RDKit coords."""
 
