@@ -365,6 +365,30 @@ class TestMCSampling:
         assert 0 < v < 8                      # some draws rejected
         np.testing.assert_allclose(np.asarray(acc), 2.0 * v, rtol=1e-6)
 
+    def test_vmap_mode_matches_map(self):
+        """mc_eval_mode='vmap' must produce the exact same sums/counts as
+        the sequential scan — same keys, same NaN-skip semantics."""
+        import jax.numpy as jnp
+        from tgt_tpu.schemes import PretrainScheme
+        s_map = PretrainScheme(dict(dataset_source="synthetic"))
+        s_vmap = PretrainScheme(dict(dataset_source="synthetic",
+                                     mc_eval_mode="vmap"))
+
+        def fn(key):
+            bad = jax.random.bernoulli(key, 0.4)
+            val = jax.random.normal(key, (3,))
+            return {"a": jnp.where(bad, jnp.nan, 1.0) * val,
+                    "b": val.sum()}
+
+        acc1, v1 = jax.jit(lambda r: s_map.mc_sample(fn, r, 8))(
+            jax.random.PRNGKey(3))
+        acc2, v2 = jax.jit(lambda r: s_vmap.mc_sample(fn, r, 8))(
+            jax.random.PRNGKey(3))
+        assert int(v1) == int(v2)
+        for a, b in zip(jax.tree.leaves(acc1), jax.tree.leaves(acc2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+
     def test_all_nan_keeps_zero_count(self):
         import jax.numpy as jnp
         from tgt_tpu.schemes import PretrainScheme

@@ -115,6 +115,11 @@ def default_scheme_config() -> Config:
         compilation_cache_dir=None,
         use_scan=True,
         use_pallas=False,
+        # MC-draw schedule for stochastic evaluation (mc_sample): 'map' =
+        # sequential lax.scan (lowest memory, the default), 'vmap' = all
+        # draws batched into one program — faster on TPU when the per-draw
+        # activations x num_samples fit (serving's mc_mode analog)
+        mc_eval_mode="map",
         buckets=[16, 24, 32, 48, 64],
         # production mesh: GSPMD over (data, pair). use_mesh=False forces
         # single-device execution (debug); num_pair_devices>1 turns on
@@ -397,6 +402,18 @@ class TGTScheme:
         Returns (summed pytree, valid_count).
         """
         keys = jax.random.split(rng, num_samples)
+
+        if getattr(self.cfg, "mc_eval_mode", "map") == "vmap":
+            # all draws in one program; same NaN-draw-skip semantics
+            outs = jax.vmap(fn)(keys)
+            finite = jnp.stack([
+                jnp.all(jnp.isfinite(x.reshape(num_samples, -1)), axis=1)
+                for x in jax.tree.leaves(outs)]).all(axis=0)
+            acc = jax.tree.map(
+                lambda o: jnp.sum(jnp.where(
+                    finite.reshape((-1,) + (1,) * (o.ndim - 1)),
+                    o.astype(jnp.float32), 0.0), axis=0), outs)
+            return acc, jnp.sum(finite.astype(jnp.int32))
 
         def body(carry, key):
             acc, valid = carry
