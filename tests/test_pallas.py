@@ -229,6 +229,36 @@ class TestAggregateDenseKernel:
                                    rtol=1e-5, atol=1e-5)
 
 
+class TestTPULowering:
+    """The dense kernels must LOWER for the TPU platform (Mosaic dialect
+    tracing + serialization) even on the CPU backend — catches kernel-body
+    constructs Mosaic cannot represent before any hardware run. (Server-side
+    codegen is validated by the TPU bench campaign.)"""
+
+    def test_dense_kernels_lower_for_tpu(self):
+        from tgt_tpu.ops.pallas.triplet_dense import (
+            triplet_aggregate_dense, triplet_attention_dense)
+        from tgt_tpu.ops.triplet import (triplet_aggregate_init,
+                                         triplet_attention_init)
+        n, h, w, b = 48, 16, 256, 2
+        e = jnp.zeros((b, n, n, w), jnp.bfloat16)
+        mask = jnp.zeros((b, n, n, 1), jnp.bfloat16)
+        to_bf16 = functools.partial(jax.tree.map,
+                                    lambda x: x.astype(jnp.bfloat16))
+        cases = [
+            (to_bf16(triplet_attention_init(jax.random.PRNGKey(0), w, h)),
+             functools.partial(triplet_attention_dense, num_heads=h)),
+            (to_bf16(triplet_aggregate_init(jax.random.PRNGKey(1), w, h)),
+             functools.partial(triplet_aggregate_dense, num_heads=h)),
+        ]
+        for p, fn in cases:
+            def loss(pp, ee):
+                return (fn(pp, ee, mask).astype(jnp.float32) ** 2).sum()
+            jax.jit(fn).trace(p, e, mask).lower(lowering_platforms=("tpu",))
+            jax.jit(jax.grad(loss, argnums=1)).trace(p, e).lower(
+                lowering_platforms=("tpu",))
+
+
 class TestModelIntegration:
     def test_full_model_with_pallas_matches_jnp(self, inputs):
         """use_pallas=True through the encoder flag (interpret mode)."""
