@@ -87,7 +87,9 @@ class TestGapPredictor:
 
         pred = GapPredictor.from_model_dir(str(tmp_path / "srv"),
                                            mc_samples=2, batch_size=4,
-                                           buckets=(12, 16))
+                                           buckets=(12, 16),
+                                           mc_mode="vmap", seed=3)
+        assert pred.mc_mode == "vmap"  # kwargs plumb through loading
         gaps = pred.predict(molecules(3))
         assert gaps.shape == (3,)
         assert np.all(np.isfinite(gaps))

@@ -463,14 +463,32 @@ class TestGradAccumulation:
         for k, v in sharded.items():
             if np.ndim(v) >= 1 and np.shape(v)[0] >= 6:
                 assert np.shape(v)[0] == 24, k
-        # and the jitted accumulated step actually runs on it
+        # and the jitted accumulated step computes the CORRECT update: the
+        # all-padding micro-batches introduced by the lcm padding must not
+        # dilute the gradient (they carry zero sample weight) — compare
+        # against an accum=1 trainer on the same 6-sample batch
+        import jax.numpy as jnp
         state = trainer.init_state(jax.random.PRNGKey(0))
         step = trainer.build_train_step()
-        import jax.numpy as jnp
         new_state, metrics = step(trainer.shard_state(state), sharded,
                                   jnp.asarray(0), jax.random.PRNGKey(1),
                                   jnp.asarray(1.0))
         assert np.isfinite(float(metrics["loss"]))
+
+        s1, t1 = make_trainer(PretrainScheme, tmp_path, "ga5", batch_size=6,
+                              grad_accum_steps=1)
+        state1 = t1.init_state(jax.random.PRNGKey(0))
+        step1 = t1.build_train_step()
+        ref_state, ref_metrics = step1(
+            t1.shard_state(state1), t1.shard_device_batch(db),
+            jnp.asarray(0), jax.random.PRNGKey(1), jnp.asarray(1.0))
+        # loss must agree to ~pair-count-weighting differences, NOT be ~1/3
+        assert abs(float(metrics["loss"]) - float(ref_metrics["loss"])) \
+            < 0.05 * abs(float(ref_metrics["loss"]))
+        for a, b in zip(jax.tree.leaves(ref_state["params"]),
+                        jax.tree.leaves(new_state["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-2, atol=3e-4)
 
 
 class TestPredictInTrain:

@@ -374,6 +374,12 @@ def triplet_aggregate_dense(p, e, mask, *, num_heads: int, gated: bool = True,
 
     b, n, _, w = e.shape
     h = num_heads
+    if not dense_supported(n, w, h):
+        raise ValueError(
+            f"dense kernel needs N*H and d*H multiples of 128 and "
+            f"N % {JBLK} == 0; got N={n}, edge_width={w}, H={h} — the grid "
+            f"would silently skip trailing j-blocks. Use the jnp path "
+            f"(ops/triplet) for this geometry.")
     d = w // h
     e_ln = layernorm(p["tri_ln_e"], e)
     v_in, v_out = jnp.split(linear(p["lin_V"], e_ln), 2, axis=-1)
@@ -435,6 +441,12 @@ def triplet_attention_dense(p, e, mask, *, num_heads: int, gated: bool = True,
 
     b, n, _, w = e.shape
     h = num_heads
+    if not dense_supported(n, w, h):
+        raise ValueError(
+            f"dense kernel needs N*H and d*H multiples of 128 and "
+            f"N % {JBLK} == 0; got N={n}, edge_width={w}, H={h} — the grid "
+            f"would silently skip trailing j-blocks. Use the jnp path "
+            f"(ops/triplet) for this geometry.")
     d = w // h
     scale = d ** -0.5
     e_ln = layernorm(p["tri_ln_e"], e)

@@ -41,7 +41,7 @@ class _BasePredictor:
     def __init__(self, params, model_cfg: TGTConfig, mc_samples: int = 10,
                  batch_size: int = 16, buckets: Sequence[int] = (16, 32, 48, 64),
                  seed: int = 0, compilation_cache_dir: Optional[str] = None,
-                 mc_mode: str = "auto", mc_vmap_max_nodes: int = 32):
+                 mc_mode: str = "map", mc_vmap_max_nodes: int = 32):
         # persistent executable cache: a restarted serving process skips the
         # per-bucket compiles entirely (warmup() then costs ~ms per shape)
         from tgt_tpu.utils.compile_cache import enable_compilation_cache
@@ -51,9 +51,10 @@ class _BasePredictor:
         self.mc_samples = mc_samples
         self.batch_size = batch_size
         self.buckets = tuple(buckets)
-        # MC-draw scheduling: 'map' = sequential lax.map (lowest memory),
-        # 'vmap' = all draws batched into one device program (highest
-        # throughput while activations fit), 'auto' = vmap for buckets up to
+        # MC-draw scheduling: 'map' = sequential lax.map (lowest memory,
+        # the default until the vmap path is measured on chip), 'vmap' =
+        # all draws batched into one device program (highest throughput
+        # while activations fit), 'auto' = vmap for buckets up to
         # mc_vmap_max_nodes, map above. Decided per compiled shape — the
         # bucket size is static at trace time.
         if mc_mode not in ("auto", "map", "vmap"):
@@ -79,9 +80,10 @@ class _BasePredictor:
                        batch_size: int = 16,
                        buckets: Sequence[int] = (16, 32, 48, 64),
                        which: str = "checkpoint",
-                       compilation_cache_dir: Optional[str] = None
-                       ) -> "_BasePredictor":
-        """Load config.yaml + the saved checkpoint from a model dir."""
+                       **predictor_kwargs) -> "_BasePredictor":
+        """Load config.yaml + the saved checkpoint from a model dir.
+        Extra kwargs (mc_mode, mc_vmap_max_nodes, seed,
+        compilation_cache_dir, ...) pass through to the constructor."""
         import os
 
         from tgt_tpu.training.checkpoint import load_pytree
@@ -94,8 +96,7 @@ class _BasePredictor:
         params, _, _ = load_pytree(template, path)
         return cls(jax.tree.map(jnp.asarray, params), scheme.model_cfg,
                    mc_samples=mc_samples, batch_size=batch_size,
-                   buckets=buckets,
-                   compilation_cache_dir=compilation_cache_dir)
+                   buckets=buckets, **predictor_kwargs)
 
     # -- device side ------------------------------------------------------
     def _mc_forward(self, params, feed, rng):
@@ -249,7 +250,10 @@ class TwoStagePredictor:
                    range_bins=range_bins)
 
     def predict(self, molecules: List[Dict]) -> np.ndarray:
-        probs = self.distance.predict(molecules)      # (M, Nmax, Nmax, B)
+        # transform ONCE; both stages accept pre-transformed rows
+        # (_prepare_rows skips rows that already carry distance_matrix)
+        rows = self.distance._prepare_rows(molecules)
+        probs = self.distance.predict(rows)           # (M, Nmax, Nmax, B)
         bins = probs.argmax(-1)                       # symmetrized upstream
         # bins2dist expects strict-upper-tri content (the packed on-disk
         # convention) and symmetrizes internally
@@ -257,9 +261,9 @@ class TwoStagePredictor:
         dist = np.asarray(bins2dist(jnp.asarray(upper), self.num_bins,
                                     self.range_bins))
         gap_mols = []
-        for mol, d in zip(molecules, dist):
-            n = int(mol["num_nodes"])
-            m2 = {k: v for k, v in mol.items()
+        for row, d in zip(rows, dist):
+            n = int(row["num_nodes"])
+            m2 = {k: v for k, v in row.items()
                   if k not in ("coords", "rdkit_coords", "dist_input")}
             m2["dist_input"] = d[:n, :n]
             gap_mols.append(m2)

@@ -359,28 +359,52 @@ class Trainer:
             shared = {k: v for k, v in batch.items() if not splittable(v)}
             rngs = jax.random.split(rng, accum)
 
+            def micro_weight(mb):
+                """Real (non-padding) sample count of a micro-batch. Mesh
+                padding (shard_device_batch) appends all-zero rows, so a
+                padded sample has an all-zero node_mask; weighting by real
+                samples keeps uneven final batches exact — a uniform
+                1/accum average would let all-padding micro-batches dilute
+                the gradient by up to accum x (and their 0/0 masked-mean
+                losses would poison it with NaN)."""
+                nm = mb.get("node_mask")
+                if nm is None:
+                    return jnp.asarray(1.0, jnp.float32)
+                return jnp.sum(jnp.any(nm > 0, axis=-1).astype(jnp.float32))
+
             def body(carry, xs):
-                loss_sum, aux_sum, grad_sum = carry
+                loss_sum, aux_sum, grad_sum, w_sum = carry
                 mb, r = xs
                 (loss, aux), grads = grad_of(params, {**mb, **shared}, r)
-                carry = (loss_sum + loss,
-                         jax.tree.map(lambda a, x: a + x, aux_sum, aux),
-                         jax.tree.map(lambda a, g: a + g, grad_sum, grads))
+                w = micro_weight(mb)
+                ok = w > 0  # all-padding micro: exclude its (NaN-prone) terms
+                wz = jnp.where(ok, w, 0.0)
+                safe = lambda x: jnp.where(ok, x, 0.0).astype(jnp.float32)
+                carry = (loss_sum + wz * safe(loss),
+                         jax.tree.map(lambda a, x: a + wz * safe(x),
+                                      aux_sum, aux),
+                         jax.tree.map(lambda a, g: a + wz * safe(g),
+                                      grad_sum, grads),
+                         w_sum + wz)
                 return carry, None
 
             zero_shapes = jax.eval_shape(
                 grad_of, params,
                 {**jax.tree.map(lambda x: x[0], micro), **shared}, rngs[0])
             (loss0_s, aux0_s), grads_s = zero_shapes
-            init = (jnp.zeros(loss0_s.shape, loss0_s.dtype),
-                    jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), aux0_s),
-                    jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), grads_s))
-            (loss_sum, aux_sum, grad_sum), _ = jax.lax.scan(
+            init = (jnp.zeros((), jnp.float32),
+                    jax.tree.map(lambda s: jnp.zeros(s.shape, jnp.float32),
+                                 aux0_s),
+                    jax.tree.map(lambda s: jnp.zeros(s.shape, jnp.float32),
+                                 grads_s),
+                    jnp.zeros((), jnp.float32))
+            (loss_sum, aux_sum, grad_sum, w_sum), _ = jax.lax.scan(
                 body, init, (micro, rngs))
-            inv = 1.0 / accum
-            return ((loss_sum * inv,
-                     jax.tree.map(lambda a: a * inv, aux_sum)),
-                    jax.tree.map(lambda g: g * inv, grad_sum))
+            inv = 1.0 / jnp.maximum(w_sum, 1.0)
+            cast = lambda t, s: (t * inv).astype(s.dtype)
+            return ((cast(loss_sum, loss0_s),
+                     jax.tree.map(cast, aux_sum, aux0_s)),
+                    jax.tree.map(cast, grad_sum, grads_s))
 
         def train_step(state, batch, step, rng, lr_scale):
             (loss, aux), grads = accumulated_grad(state["params"], batch, rng)
