@@ -219,6 +219,19 @@ class Trainer:
         lead = [np.shape(v)[0] for v in device_batch.values()
                 if np.ndim(v) >= 1]
         b = max(lead) if lead else 0
+        # every ndim>=1 entry of a scheme device batch is per-sample today;
+        # an array with a different leading dim would be silently REPLICATED
+        # by make_global_batch's local_batch rule — fail loudly instead so a
+        # future shared array is added to the explicit replicate set rather
+        # than classified by shape coincidence (round-3 review finding)
+        odd = {k: np.shape(v) for k, v in device_batch.items()
+               if np.ndim(v) >= 1 and np.shape(v)[0] != b}
+        if odd:
+            raise ValueError(
+                f"device batch entries with non-batch leading dims {odd} "
+                f"(batch={b}): per-sample arrays must lead with the batch "
+                "dim; genuinely shared arrays need an explicit replicate "
+                "rule in parallel/mesh.py")
         target = -(-b // quantum) * quantum if b else 0
         if target != b:
             def pad_rows(v):
