@@ -34,6 +34,12 @@ run core_ag 900 python benchmarks/aggregate_variants.py \
 run sweep_base 1200 python benchmarks/sweep.py --b 8 --n 48
 run sweep_dense 1200 python benchmarks/sweep.py --b 8 --n 48 --dense
 
+# 4b. dense kernel + remat OFF: the jnp path OOMs without remat (20.3G of
+# saved N^3 intermediates) but the dense kernel's custom_vjp saves only N^2
+# residuals — no-remat skips the whole forward recompute in backward
+run sweep_dense_noremat 1200 python benchmarks/sweep.py --b 8 --n 48 \
+    --dense --no-remat
+
 # 5. aggregate full step with dense kernel
 run sweep_ag_dense 1200 python benchmarks/sweep.py --b 8 --n 48 \
     --type aggregate --dense
