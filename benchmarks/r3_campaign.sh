@@ -40,9 +40,19 @@ run sweep_dense 1200 python benchmarks/sweep.py --b 8 --n 48 --dense
 run sweep_dense_noremat 1200 python benchmarks/sweep.py --b 8 --n 48 \
     --dense --no-remat
 
-# 5. aggregate full step with dense kernel
+# 4c. batch scaling with the dense kernel: b=16/32 lost at b=8 on the jnp
+# path because the N^3 relayout copies scale superlinearly with b; the dense
+# kernel keeps N^3 in VMEM, so larger batches may now raise total throughput
+run sweep_dense_b16 1200 python benchmarks/sweep.py --b 16 --n 48 \
+    --dense --no-remat
+run sweep_dense_b32 1200 python benchmarks/sweep.py --b 32 --n 48 \
+    --dense --no-remat
+
+# 5. aggregate full step with dense kernel (remat on and off)
 run sweep_ag_dense 1200 python benchmarks/sweep.py --b 8 --n 48 \
     --type aggregate --dense
+run sweep_ag_dense_noremat 1200 python benchmarks/sweep.py --b 8 --n 48 \
+    --type aggregate --dense --no-remat
 
 # 6. serving MC scheduling lever: map vs vmap (VERDICT r2 #8)
 run serving_map 1200 python benchmarks/serving_bench.py --mc-mode map \

@@ -155,6 +155,34 @@ class TestTripletDenseKernel:
             np.testing.assert_allclose(b_ / scale, a / scale, rtol=0,
                                        atol=1e-4)
 
+    def test_flagship_geometry_numerics(self):
+        """Numerics at the published triplet geometry (N=48, edge 256,
+        16 triplet heads, d=16) — head-packing/reshape bugs live at
+        non-toy widths (TPU lowering alone is pinned by TestTPULowering)."""
+        from tgt_tpu.ops.pallas.triplet_dense import triplet_attention_dense
+        b, n, w, h = 1, 48, 256, 16
+        p = triplet_attention_init(jax.random.PRNGKey(0), w, h, gated=True)
+        e = jax.random.normal(jax.random.PRNGKey(2), (b, n, n, w)) * 0.5
+        nm = np.ones((b, n), np.float32)
+        nm[0, 37:] = 0
+        mask = additive_mask_from_node_mask(jnp.asarray(nm))
+        ref = triplet_attention(p, e, mask, num_heads=h)
+        got = triplet_attention_dense(p, e, mask, num_heads=h, gated=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(fn, pp, ee):
+            return (fn(pp, ee, mask, num_heads=h) ** 2).sum()
+
+        g_ref = jax.grad(loss, argnums=(1, 2))(triplet_attention, p, e)
+        g_den = jax.grad(loss, argnums=(1, 2))(
+            functools.partial(triplet_attention_dense, gated=True), p, e)
+        for a, b_ in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_den)):
+            a, b_ = np.asarray(a), np.asarray(b_)
+            scale = np.abs(a).max() + 1e-9
+            np.testing.assert_allclose(b_ / scale, a / scale, rtol=0,
+                                       atol=1e-5)
+
     def test_dense_via_use_pallas_flag(self, dense_inputs):
         """use_pallas='dense' routes through _triplet_attention_impl."""
         p, _, e, mask, h = dense_inputs
