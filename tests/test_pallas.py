@@ -244,6 +244,35 @@ class TestAggregateDenseKernel:
             np.testing.assert_allclose(b_ / scale, a / scale, rtol=0,
                                        atol=1e-4)
 
+    def test_flagship_geometry_numerics(self):
+        """Aggregate kernel at the published geometry (N=48, edge 256,
+        16 heads) — forward and gradients vs the jnp oracle."""
+        from tgt_tpu.ops.triplet import (triplet_aggregate,
+                                         triplet_aggregate_init)
+        b, n, w, h = 1, 48, 256, 16
+        p = triplet_aggregate_init(jax.random.PRNGKey(0), w, h, gated=True)
+        e = jax.random.normal(jax.random.PRNGKey(2), (b, n, n, w)) * 0.5
+        nm = np.ones((b, n), np.float32)
+        nm[0, 37:] = 0
+        mask = additive_mask_from_node_mask(jnp.asarray(nm))
+        ref = triplet_aggregate(p, e, mask, num_heads=h)
+        got = triplet_aggregate(p, e, mask, num_heads=h, use_pallas="dense")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(use_pallas, pp, ee):
+            return (triplet_aggregate(pp, ee, mask, num_heads=h,
+                                      use_pallas=use_pallas) ** 2).sum()
+
+        g_ref = jax.grad(functools.partial(loss, False), argnums=(0, 1))(p, e)
+        g_den = jax.grad(functools.partial(loss, "dense"),
+                         argnums=(0, 1))(p, e)
+        for a, b_ in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_den)):
+            a, b_ = np.asarray(a), np.asarray(b_)
+            scale = np.abs(a).max() + 1e-9
+            np.testing.assert_allclose(b_ / scale, a / scale, rtol=0,
+                                       atol=1e-5)
+
     def test_dropout_supported(self, agg_inputs):
         """Aggregate-dense keeps dropout in XLA -> exact same masks/numbers
         as the jnp path for the same key."""
