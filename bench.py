@@ -238,11 +238,16 @@ def main():
     # "relay up but slow" (proceed; watchdog is the backstop).
     def relay_port_open():
         import socket
-        try:
-            with socket.create_connection(("127.0.0.1", 8083), timeout=5):
-                return True
-        except OSError:
-            return False
+        # BOTH tunnel ports must accept: a half-up relay (8083 open, 8082
+        # down) still hangs jax.devices() and would otherwise burn the whole
+        # budget before the watchdog fires
+        for port in (8082, 8083):
+            try:
+                with socket.create_connection(("127.0.0.1", port), timeout=5):
+                    pass
+            except OSError:
+                return False
+        return True
 
     for attempt in range(8):
         if relay_port_open():
@@ -251,8 +256,8 @@ def main():
         time.sleep(30)
     else:
         raise RuntimeError(
-            "TPU relay (127.0.0.1:8083) refused connections for ~4 min — "
-            "tunnel infrastructure down, not a code failure")
+            "TPU relay (127.0.0.1:8082/:8083) refused connections for "
+            "~4 min — tunnel infrastructure down, not a code failure")
 
     # the TPU tunnel admits one process at a time; retry (bounded) if another
     # process holds a stale claim, then RAISE so the error-JSON path runs

@@ -70,40 +70,52 @@ def fake_smiles2graph(smiles):
 
 
 class FakeOGB:
-    """PCQM4Mv2Dataset(only_smiles=True) double: iterates (smiles, target);
-    test-dev targets are NaN like the real dataset."""
+    """PCQM4Mv2Dataset(only_smiles=True) double: indexes to (smiles, target);
+    test-dev/test-challenge targets are NaN like the real dataset. Includes a
+    test-challenge split that build_pcqm_records must EXCLUDE (reference
+    prepare_data.py:246-263 processes only valid and test-dev)."""
 
-    def __init__(self, n_train=N_TRAIN, n_valid=N_VALID, n_test=N_TEST):
-        self.n = n_train + n_valid + n_test
+    def __init__(self, n_train=N_TRAIN, n_valid=N_VALID, n_test=N_TEST,
+                 n_challenge=3):
+        self.n = n_train + n_valid + n_test + n_challenge
         self.split = {
             "train": np.arange(n_train),
             "valid": np.arange(n_train, n_train + n_valid),
-            "test-dev": np.arange(n_train + n_valid, self.n),
+            "test-dev": np.arange(n_train + n_valid,
+                                  n_train + n_valid + n_test),
+            "test-challenge": np.arange(n_train + n_valid + n_test, self.n),
         }
 
     def get_idx_split(self):
         return self.split
 
-    def __iter__(self):
-        for i in range(self.n):
-            target = (float(i) / 10.0
-                      if i not in self.split["test-dev"] else float("nan"))
-            yield f"C{'C' * (i % 3)}O", target
+    def __getitem__(self, i):
+        hidden = (i in self.split["test-dev"]
+                  or i in self.split["test-challenge"])
+        target = float("nan") if hidden else float(i) / 10.0
+        return f"C{'C' * (i % 3)}O", target
 
 
 @pytest.fixture(scope="module")
 def prepared_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("prep_rehearsal")
+    removed = []
+
+    def fake_remove_all_hs(mol):
+        removed.append(mol.i)
+        return mol
+
     records, splits = build_pcqm_records(
         FakeOGB(), FakeSupplier(N_TRAIN), fake_smiles2graph,
-        mol2graph=fake_mol2graph)
+        mol2graph=fake_mol2graph, remove_all_hs=fake_remove_all_hs)
     write_dataset(records, str(d), coords_names=("dft",), splits=splits)
-    return str(d), records, splits
+    return str(d), records, splits, removed
 
 
 class TestBuildRecords:
     def test_counts_and_sources(self, prepared_dir):
-        _, records, _ = prepared_dir
+        _, records, _, removed = prepared_dir
+        # test-challenge molecules are excluded (reference :246-263)
         assert len(records) == N_TRAIN + N_VALID + N_TEST
         for i, r in enumerate(records):
             assert r["idx"] == i
@@ -112,15 +124,17 @@ class TestBuildRecords:
                 np.testing.assert_allclose(r["dft_coords"], float(i))
             else:            # SMILES path has no DFT coords
                 assert "dft_coords" not in r
+        # every SDF train mol went through RemoveAllHs (reference :199)
+        assert removed == list(range(N_TRAIN))
 
     def test_targets(self, prepared_dir):
-        _, records, _ = prepared_dir
+        _, records, _, _ = prepared_dir
         assert records[0]["target"] == 0.0
         assert records[N_TRAIN]["target"] == pytest.approx(N_TRAIN / 10)
         assert np.isnan(records[-1]["target"])  # test-dev target hidden
 
     def test_splits_partition_and_sorted(self, prepared_dir):
-        _, _, splits = prepared_dir
+        _, _, splits, _ = prepared_dir
         t3, v3 = splits["train-3d"], splits["valid-3d"]
         # sorted (reference prepare_data.py:273-274 sorts in place)
         assert np.all(np.diff(t3) > 0) and np.all(np.diff(v3) > 0)
@@ -139,7 +153,7 @@ class TestRoundTrip:
     the actual runbook step that follows prepare_pcqm4mv2."""
 
     def test_train_rows_load_with_structural_transform(self, prepared_dir):
-        d, _, _ = prepared_dir
+        d, _, _, _ = prepared_dir
         ds = PCQM4Mv2Dataset("train-3d", d, return_idx=True,
                              additional_columns=[Coords("dft")],
                              transforms=[AddStructuralData()])
@@ -150,12 +164,12 @@ class TestRoundTrip:
         assert row["dft_coords"].shape == (n, 3)
 
     def test_valid_split_loads(self, prepared_dir):
-        d, _, _ = prepared_dir
+        d, _, _, _ = prepared_dir
         ds = PCQM4Mv2Dataset("valid", d)
         assert len(ds) == N_VALID
         assert np.isfinite(ds[0]["target"])
 
     def test_files_exist(self, prepared_dir):
-        d, _, _ = prepared_dir
+        d, _, _, _ = prepared_dir
         for f in ("records.parquet", "dft_coords.parquet", "splits.npz"):
             assert os.path.exists(os.path.join(d, f))

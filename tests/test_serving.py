@@ -123,6 +123,48 @@ class TestTwoStagePredictor:
         assert gaps.shape == (5,)
         assert np.all(np.isfinite(gaps))
 
+    def test_empty_input_returns_empty(self):
+        """predict([]) returns an empty array like the single-stage
+        predictors instead of crashing on argmax of an empty axis."""
+        from tgt_tpu.serving import TwoStagePredictor
+        dinit, _ = make_model("distance")
+        ginit, _ = make_model("gap")
+        dp = DistancePredictor(dinit(jax.random.PRNGKey(0), CFG), CFG,
+                               mc_samples=1, batch_size=4, buckets=(12,))
+        gp = GapPredictor(ginit(jax.random.PRNGKey(1), CFG), CFG,
+                          mc_samples=1, batch_size=4, buckets=(12,))
+        out = TwoStagePredictor(dp, gp).predict([])
+        assert out.shape == (0,)
+
+    def test_from_model_dirs_reads_trained_range_bins(self, tmp_path,
+                                                      monkeypatch):
+        """range_bins defaults to the distance model's trained
+        range_dist_bins from its config.yaml, not a hardcoded 8.0."""
+        import yaml
+        from types import SimpleNamespace
+        from tgt_tpu import serving as srv
+        d = tmp_path / "dist"
+        d.mkdir()
+        cfg = dict(scheme="pcqm.dist_pred", model_name="dist",
+                   dataset_source="synthetic", synth_train_samples=8,
+                   synth_val_samples=4, synth_max_nodes=10, batch_size=4,
+                   buckets=[12], model_height=2, node_width=16, edge_width=8,
+                   num_heads=4, triplet_heads=2, num_dist_bins=8,
+                   range_dist_bins=12.5, coords_input="rdkit")
+        with open(d / "config.yaml", "w") as f:
+            yaml.safe_dump(cfg, f)
+        stub = SimpleNamespace(cfg=SimpleNamespace(num_dist_bins=8))
+        monkeypatch.setattr(srv.DistancePredictor, "from_model_dir",
+                            classmethod(lambda cls, p, **kw: stub))
+        monkeypatch.setattr(srv.GapPredictor, "from_model_dir",
+                            classmethod(lambda cls, p, **kw: stub))
+        two = srv.TwoStagePredictor.from_model_dirs(str(d), "unused")
+        assert two.range_bins == 12.5
+        # explicit argument still wins
+        two = srv.TwoStagePredictor.from_model_dirs(str(d), "unused",
+                                                    range_bins=4.0)
+        assert two.range_bins == 4.0
+
     def test_distance_matrix_fed_to_gap_is_symmetric_zero_diag(self):
         """The bins2dist round trip must produce a symmetric zero-diagonal
         distance input (reference commons.py:72-82 semantics)."""

@@ -129,18 +129,23 @@ def prepare_pcqm4mv2(raw_dir: str, out_dir: str) -> None:
     ogb_ds = OGBDataset(root=raw_dir, only_smiles=True)
     sdf_path = os.path.join(raw_dir, "pcqm4m-v2-train.sdf")
     supplier = Chem.SDMolSupplier(sdf_path, removeHs=True)
-    records, splits = build_pcqm_records(ogb_ds, supplier, smiles2graph)
+    records, splits = build_pcqm_records(ogb_ds, supplier, smiles2graph,
+                                         remove_all_hs=Chem.RemoveAllHs)
     write_dataset(records, out_dir, coords_names=("dft",), splits=splits)
 
 
-def build_pcqm_records(ogb_ds, supplier, smiles2graph, mol2graph=None):
+def build_pcqm_records(ogb_ds, supplier, smiles2graph, mol2graph=None,
+                       remove_all_hs=None):
     """Core prep loop with injectable deps (hermetically rehearsed against a
     hand-built SDF-like fixture in tests/test_rdkit_prep.py).
 
-    Reference semantics (prepare_data.py:216-279):
+    Reference semantics (prepare_data.py:174-279):
     - train molecules come from the SDF supplier IN ORDER and must align
-      1:1 with the OGB train split (assert at :237);
-    - valid/test-dev molecules are built from SMILES;
+      1:1 with the OGB train split (assert at :237); each SDF mol gets
+      ``Chem.RemoveAllHs`` (:199) so non-removable explicit hydrogens are
+      stripped exactly like the reference (pass it as ``remove_all_hs``);
+    - ONLY the valid and test-dev splits are built from SMILES (:246-263) —
+      test-challenge molecules are never featurized;
     - train-3d/valid-3d = sorted train_test_split(78606 @ 777777).
     Returns (records list, splits dict) for ``write_dataset``.
     """
@@ -155,17 +160,24 @@ def build_pcqm_records(ogb_ds, supplier, smiles2graph, mol2graph=None):
 
     mol2graph = mol2graph or _mol2graph
     records = []
-    for i, (smiles, target) in enumerate(ogb_ds):
-        if i < n_sdf:  # train molecules come from the SDF (3D)
-            mol = supplier[i]
-            g = mol2graph(mol)
-            g["dft_coords"] = np.asarray(
-                mol.GetConformer().GetPositions(), np.float32)
-        else:
-            g = _ogb_graph(smiles2graph(smiles))
+    for i in range(n_sdf):  # train molecules come from the SDF (3D)
+        mol = supplier[i]
+        if remove_all_hs is not None:
+            mol = remove_all_hs(mol)
+        g = mol2graph(mol)
+        g["dft_coords"] = np.asarray(
+            mol.GetConformer().GetPositions(), np.float32)
+        _, target = ogb_ds[i]
         g["idx"] = i
         g["target"] = target
         records.append(g)
+    for key in ("valid", "test-dev"):  # SMILES path; test-challenge excluded
+        for idx in np.asarray(split[key]):
+            smiles, target = ogb_ds[int(idx)]
+            g = _ogb_graph(smiles2graph(smiles))
+            g["idx"] = int(idx)
+            g["target"] = target
+            records.append(g)
 
     # real PCQM has 3,378,606 train molecules; scale the holdout down for
     # fixture-sized inputs so the rehearsal path is identical

@@ -244,7 +244,18 @@ class TwoStagePredictor:
 
     @classmethod
     def from_model_dirs(cls, dist_dir: str, gap_dir: str,
-                        range_bins: float = 8.0, **kw) -> "TwoStagePredictor":
+                        range_bins: Optional[float] = None,
+                        **kw) -> "TwoStagePredictor":
+        """range_bins defaults to the distance model's TRAINED
+        range_dist_bins (from its config.yaml) — a model trained with a
+        non-default bin range would otherwise decode systematically scaled
+        distances."""
+        if range_bins is None:
+            import os
+            cfg_dict = load_yaml(os.path.join(dist_dir, "config.yaml"))
+            scheme = get_scheme(cfg_dict["scheme"])(cfg_dict,
+                                                    command="evaluate")
+            range_bins = float(scheme.cfg.range_dist_bins)
         return cls(DistancePredictor.from_model_dir(dist_dir, **kw),
                    GapPredictor.from_model_dir(gap_dir, **kw),
                    range_bins=range_bins)
@@ -253,6 +264,8 @@ class TwoStagePredictor:
         # transform ONCE; both stages accept pre-transformed rows
         # (_prepare_rows skips rows that already carry distance_matrix)
         rows = self.distance._prepare_rows(molecules)
+        if not rows:
+            return np.zeros((0,), np.float32)
         probs = self.distance.predict(rows)           # (M, Nmax, Nmax, B)
         bins = probs.argmax(-1)                       # symmetrized upstream
         # bins2dist expects strict-upper-tri content (the packed on-disk

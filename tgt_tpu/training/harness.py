@@ -373,13 +373,20 @@ class Trainer:
             rngs = jax.random.split(rng, accum)
 
             def micro_weight(mb):
-                """Real (non-padding) sample count of a micro-batch. Mesh
-                padding (shard_device_batch) appends all-zero rows, so a
-                padded sample has an all-zero node_mask; weighting by real
-                samples keeps uneven final batches exact — a uniform
-                1/accum average would let all-padding micro-batches dilute
-                the gradient by up to accum x (and their 0/0 masked-mean
-                losses would poison it with NaN)."""
+                """Real (non-padding) sample count of a micro-batch. Uses
+                sample_mask — the SAME marker the masked-mean losses divide
+                by (edge_mask_of) — so gradient weights can never disagree
+                with the loss normalization. Mesh padding
+                (shard_device_batch) zero-extends it, so a padded sample
+                weighs 0; weighting by real samples keeps uneven final
+                batches exact — a uniform 1/accum average would let
+                all-padding micro-batches dilute the gradient by up to
+                accum x (and their 0/0 masked-mean losses would poison it
+                with NaN). Falls back to the node_mask heuristic for raw
+                feeds that lack sample_mask."""
+                sm = mb.get("sample_mask")
+                if sm is not None:
+                    return jnp.sum(sm.astype(jnp.float32))
                 nm = mb.get("node_mask")
                 if nm is None:
                     return jnp.asarray(1.0, jnp.float32)
