@@ -183,6 +183,25 @@ class TestTripletDenseKernel:
             np.testing.assert_allclose(b_ / scale, a / scale, rtol=0,
                                        atol=1e-5)
 
+    def test_padding_invariance_across_buckets(self):
+        """Same real nodes padded to N=16 vs N=32 give identical outputs at
+        valid positions — the kernel's additive-mask handling must ignore
+        padding exactly like the jnp path (bucketed serving/training repads
+        between these shapes)."""
+        from tgt_tpu.ops.pallas.triplet_dense import triplet_attention_dense
+        b, w, h, real = 2, 128, 8, 11
+        p = triplet_attention_init(jax.random.PRNGKey(0), w, h, gated=True)
+        e_real = jax.random.normal(jax.random.PRNGKey(2), (b, real, real, w))
+        outs = {}
+        for n in (16, 32):
+            e = jnp.zeros((b, n, n, w)).at[:, :real, :real].set(e_real)
+            nm = np.zeros((b, n), np.float32)
+            nm[:, :real] = 1
+            mask = additive_mask_from_node_mask(jnp.asarray(nm))
+            out = triplet_attention_dense(p, e, mask, num_heads=h, gated=True)
+            outs[n] = np.asarray(out)[:, :real, :real]
+        np.testing.assert_allclose(outs[32], outs[16], rtol=1e-5, atol=1e-5)
+
     def test_dense_via_use_pallas_flag(self, dense_inputs):
         """use_pallas='dense' routes through _triplet_attention_impl."""
         p, _, e, mask, h = dense_inputs
