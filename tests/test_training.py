@@ -447,6 +447,14 @@ class TestGradAccumulation:
         result = trainer.fit(num_epochs=1)
         assert np.isfinite(result["history"][-1]["loss"])
 
+    def test_pallas_rejects_pair_sharding(self, tmp_path):
+        """Mosaic kernels are opaque to GSPMD; use_pallas with
+        num_pair_devices > 1 must fail at config time with a clear error,
+        not deep in XLA compilation (docs/DESIGN.md)."""
+        with pytest.raises(ValueError, match="num_pair_devices"):
+            make_trainer(PretrainScheme, tmp_path, "pp1",
+                         num_pair_devices=2, use_pallas=True)
+
     def test_uneven_batch_pads_to_lcm_of_mesh_and_accum(self, tmp_path):
         """An uneven final batch must pad to a size BOTH the data axis and
         grad_accum_steps divide (host batch 6, accum 3, 8 data devices ->

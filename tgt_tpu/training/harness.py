@@ -143,6 +143,15 @@ class Trainer:
         # 'pair' (edge-block partitioning, SURVEY.md §5.7).
         self.mesh = None
         self.num_pair = int(getattr(self.cfg, "num_pair_devices", 1) or 1)
+        if self.num_pair > 1 and getattr(self.cfg, "use_pallas", False):
+            # Mosaic kernels are opaque to the SPMD partitioner: a
+            # pair-sharded edge tensor entering a pallas_call fails deep in
+            # XLA compilation. Fail at config time instead (docs/DESIGN.md
+            # "Pallas x pair sharding").
+            raise ValueError(
+                "use_pallas kernels do not compose with num_pair_devices > "
+                "1 (Mosaic is opaque to GSPMD) — pair-sharded configs must "
+                "use the jnp triplet path")
         if getattr(self.cfg, "use_mesh", True) and \
                 (len(jax.devices()) > 1 or self.num_pair > 1):
             from tgt_tpu.parallel.mesh import make_mesh
