@@ -447,13 +447,20 @@ class TestGradAccumulation:
         result = trainer.fit(num_epochs=1)
         assert np.isfinite(result["history"][-1]["loss"])
 
-    def test_pallas_rejects_pair_sharding(self, tmp_path):
-        """Mosaic kernels are opaque to GSPMD; use_pallas with
-        num_pair_devices > 1 must fail at config time with a clear error,
+    def test_pallas_rejects_mesh(self, tmp_path):
+        """Mosaic kernels cannot be partitioned by GSPMD at all (even data
+        parallelism raises NotImplementedError at TPU lowering); use_pallas
+        with an active mesh must fail at config time with a clear error,
         not deep in XLA compilation (docs/DESIGN.md)."""
-        with pytest.raises(ValueError, match="num_pair_devices"):
+        with pytest.raises(ValueError, match="use_pallas"):
             make_trainer(PretrainScheme, tmp_path, "pp1",
                          num_pair_devices=2, use_pallas=True)
+        with pytest.raises(ValueError, match="shard_map"):
+            make_trainer(PretrainScheme, tmp_path, "pp2", use_pallas="dense")
+        # single-device execution stays allowed
+        _, tr = make_trainer(PretrainScheme, tmp_path, "pp3",
+                             use_pallas="dense", use_mesh=False)
+        assert tr.mesh is None
 
     def test_uneven_batch_pads_to_lcm_of_mesh_and_accum(self, tmp_path):
         """An uneven final batch must pad to a size BOTH the data axis and

@@ -143,21 +143,23 @@ class Trainer:
         # 'pair' (edge-block partitioning, SURVEY.md §5.7).
         self.mesh = None
         self.num_pair = int(getattr(self.cfg, "num_pair_devices", 1) or 1)
-        if self.num_pair > 1 and getattr(self.cfg, "use_pallas", False):
-            # Mosaic kernels are opaque to the SPMD partitioner: a
-            # pair-sharded edge tensor entering a pallas_call fails deep in
-            # XLA compilation. Fail at config time instead (docs/DESIGN.md
-            # "Pallas x pair sharding").
-            raise ValueError(
-                "use_pallas kernels do not compose with num_pair_devices > "
-                "1 (Mosaic is opaque to GSPMD) — pair-sharded configs must "
-                "use the jnp triplet path")
         if getattr(self.cfg, "use_mesh", True) and \
                 (len(jax.devices()) > 1 or self.num_pair > 1):
             from tgt_tpu.parallel.mesh import make_mesh
             self.mesh = make_mesh(
                 num_data=len(jax.devices()) // self.num_pair,
                 num_pair=self.num_pair)
+        if self.mesh is not None and getattr(self.cfg, "use_pallas", False):
+            # Mosaic kernels cannot be partitioned by GSPMD AT ALL — even
+            # batch-axis data parallelism raises NotImplementedError('wrap
+            # the call in a shard_map') at TPU lowering (verified; see
+            # docs/DESIGN.md "Pallas x sharding"). Fail at config time with
+            # the workaround instead of deep in compilation.
+            raise ValueError(
+                "use_pallas kernels run single-device only in the mesh "
+                "Trainer (Mosaic is opaque to GSPMD; even data parallelism "
+                "would need a shard_map wrapper) — set use_mesh: false on "
+                "one chip, or use the jnp triplet path on meshes")
 
         self.model_path = self.cfg.save_path
         self.log_path = os.path.join(self.model_path, "logs")
