@@ -183,6 +183,42 @@ class TestTripletDenseKernel:
             np.testing.assert_allclose(b_ / scale, a / scale, rtol=0,
                                        atol=1e-5)
 
+    @pytest.mark.parametrize("gated", [True, False])
+    def test_data_mesh_shard_map_matches_unsharded(self, dense_inputs, gated):
+        """With a registered data mesh the kernel cores route through
+        jax.shard_map over the batch axis (GSPMD cannot partition Mosaic
+        kernels) — numerics must match the unsharded call exactly,
+        including gradients."""
+        from jax.sharding import Mesh
+        from tgt_tpu.ops.pallas import triplet_dense as td
+        p, pu, e, mask, h = dense_inputs
+        pp = p if gated else pu
+        ref = td.triplet_attention_dense(pp, e, mask, num_heads=h,
+                                         gated=gated)
+
+        def loss(fn, prm, ee):
+            return (fn(prm, ee, mask, num_heads=h, gated=gated) ** 2).sum()
+
+        g_ref = jax.grad(loss, argnums=(1, 2))(td.triplet_attention_dense,
+                                               pp, e)
+        td.set_dense_data_mesh(Mesh(np.array(jax.devices()[:2]), ("data",)))
+        try:
+            got = td.triplet_attention_dense(pp, e, mask, num_heads=h,
+                                             gated=gated)
+            g_got = jax.grad(loss, argnums=(1, 2))(
+                td.triplet_attention_dense, pp, e)
+        finally:
+            td.set_dense_data_mesh(None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+        for a, b_ in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+            a, b_ = np.asarray(a), np.asarray(b_)
+            # floor the scale: leaves whose true grad is ~0 (lin_E biases —
+            # softmax shift invariance) carry only f32 noise in BOTH paths
+            scale = max(np.abs(a).max(), 1.0)
+            np.testing.assert_allclose(b_ / scale, a / scale, rtol=0,
+                                       atol=1e-5)
+
     def test_padding_invariance_across_buckets(self):
         """Same real nodes padded to N=16 vs N=32 give identical outputs at
         valid positions — the kernel's additive-mask handling must ignore
@@ -311,6 +347,13 @@ class TestTPULowering:
     constructs Mosaic cannot represent before any hardware run. (Server-side
     codegen is validated by the TPU bench campaign.)"""
 
+    @pytest.fixture(autouse=True)
+    def force_interpret(self):
+        """Shadow the module-level interpret patch: these tests must go
+        through REAL Mosaic lowering (the patch was silently rerouting them
+        to the interpreter path, which lowers trivially for any platform)."""
+        yield
+
     def test_dense_kernels_lower_for_tpu(self):
         from tgt_tpu.ops.pallas.triplet_dense import (
             triplet_aggregate_dense, triplet_attention_dense)
@@ -330,9 +373,48 @@ class TestTPULowering:
         for p, fn in cases:
             def loss(pp, ee):
                 return (fn(pp, ee, mask).astype(jnp.float32) ** 2).sum()
-            jax.jit(fn).trace(p, e, mask).lower(lowering_platforms=("tpu",))
+            txt = jax.jit(fn).trace(p, e, mask).lower(
+                lowering_platforms=("tpu",)).as_text()
+            # prove Mosaic ran (the interpreter path lowers trivially)
+            assert "tpu_custom_call" in txt
             jax.jit(jax.grad(loss, argnums=1)).trace(p, e).lower(
                 lowering_platforms=("tpu",))
+
+    def test_dense_kernel_lowers_under_data_mesh(self):
+        """GSPMD cannot partition Mosaic kernels (NotImplementedError at
+        lowering); with the registered data mesh the shard_map wrapper must
+        make the SAME data-sharded grad program lower for TPU."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from tgt_tpu.ops.pallas import triplet_dense as td
+        from tgt_tpu.ops.triplet import triplet_attention_init
+        n, h, w, b = 48, 16, 256, 8
+        e = jnp.zeros((b, n, n, w), jnp.bfloat16)
+        mask = jnp.zeros((b, n, n, 1), jnp.bfloat16)
+        p = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                         triplet_attention_init(jax.random.PRNGKey(0), w, h))
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        sh = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        fn = functools.partial(td.triplet_attention_dense, num_heads=h)
+
+        def loss(pp, ee):
+            return (fn(pp, ee, mask).astype(jnp.float32) ** 2).sum()
+
+        def make_jit():
+            # fresh jit per trace: the registered mesh is read at TRACE
+            # time, and jit would otherwise serve the cached pre-mesh jaxpr
+            return jax.jit(jax.grad(loss, argnums=1),
+                           in_shardings=(jax.tree.map(lambda _: rep, p), sh))
+
+        with pytest.raises(NotImplementedError, match="shard_map"):
+            make_jit().trace(p, e).lower(lowering_platforms=("tpu",))
+        td.set_dense_data_mesh(mesh)
+        try:
+            txt = make_jit().trace(p, e).lower(
+                lowering_platforms=("tpu",)).as_text()
+        finally:
+            td.set_dense_data_mesh(None)
+        assert "tpu_custom_call" in txt
 
 
 class TestModelIntegration:

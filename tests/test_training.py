@@ -447,20 +447,34 @@ class TestGradAccumulation:
         result = trainer.fit(num_epochs=1)
         assert np.isfinite(result["history"][-1]["loss"])
 
-    def test_pallas_rejects_mesh(self, tmp_path):
+    def test_pallas_mesh_composition_rules(self, tmp_path):
         """Mosaic kernels cannot be partitioned by GSPMD at all (even data
-        parallelism raises NotImplementedError at TPU lowering); use_pallas
-        with an active mesh must fail at config time with a clear error,
-        not deep in XLA compilation (docs/DESIGN.md)."""
+        parallelism raises NotImplementedError at TPU lowering). The dense
+        kernels ship a shard_map wrapper, so 'dense' + data mesh registers
+        the mesh; the legacy fused kernel and pair sharding fail at config
+        time with a clear error, not deep in XLA compilation."""
+        from tgt_tpu.ops.pallas import triplet_dense as td
         with pytest.raises(ValueError, match="use_pallas"):
             make_trainer(PretrainScheme, tmp_path, "pp1",
                          num_pair_devices=2, use_pallas=True)
         with pytest.raises(ValueError, match="shard_map"):
-            make_trainer(PretrainScheme, tmp_path, "pp2", use_pallas="dense")
-        # single-device execution stays allowed
-        _, tr = make_trainer(PretrainScheme, tmp_path, "pp3",
+            make_trainer(PretrainScheme, tmp_path, "pp1b",
+                         num_pair_devices=2, use_pallas="dense")
+        with pytest.raises(ValueError, match="shard_map"):
+            make_trainer(PretrainScheme, tmp_path, "pp2", use_pallas=True)
+        try:
+            _, tr = make_trainer(PretrainScheme, tmp_path, "pp3",
+                                 use_pallas="dense")
+            assert tr.mesh is not None
+            assert td._DATA_MESH is not None
+            assert td._DATA_MESH[0] is tr.mesh
+        finally:
+            td.set_dense_data_mesh(None)
+        # single-device execution stays allowed, without a registered mesh
+        _, tr = make_trainer(PretrainScheme, tmp_path, "pp4",
                              use_pallas="dense", use_mesh=False)
         assert tr.mesh is None
+        assert td._DATA_MESH is None
 
     def test_uneven_batch_pads_to_lcm_of_mesh_and_accum(self, tmp_path):
         """An uneven final batch must pad to a size BOTH the data axis and

@@ -43,6 +43,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 JBLK = 16  # j-block per grid step (divides every production bucket)
 
+# -- data-parallel composition ------------------------------------------------
+# Mosaic kernels cannot be partitioned by GSPMD at all — even a batch-axis
+# data-parallel sharding raises NotImplementedError('wrap the call in a
+# shard_map') at TPU lowering. When a data mesh is registered here, the
+# kernel cores route through jax.shard_map over the batch axis (every kernel
+# operand is batch-leading, so the wrap is exact: no cross-shard math).
+_DATA_MESH = None  # (Mesh, axis_name) | None
+
+
+def set_dense_data_mesh(mesh, axis_name: str = "data") -> None:
+    """Register (or clear, with None) the mesh the dense kernels shard over.
+
+    Process-global: set by the Trainer when `use_pallas='dense'` runs on a
+    data-parallel mesh; the registered mesh applies to every dense-kernel
+    call traced afterwards, so clear it (None) before tracing single-device
+    programs in the same process (e.g. serving)."""
+    global _DATA_MESH
+    _DATA_MESH = None if mesh is None else (mesh, axis_name)
+
+
+def _maybe_shard_map(core, nargs: int):
+    """Wrap `core` (nargs batch-leading array args) in shard_map over the
+    registered data mesh, or return it unchanged."""
+    if _DATA_MESH is None:
+        return core
+    from jax.sharding import PartitionSpec
+    mesh, ax = _DATA_MESH
+    spec = PartitionSpec(ax)
+    return jax.shard_map(core, mesh=mesh, in_specs=(spec,) * nargs,
+                         out_specs=spec, check_vma=False)
+
 
 def _hmask(rows: int, cols: int, h: int, dtype):
     """(rows, cols) 0/1 mask selecting (row % h) == (col % h)."""
@@ -409,8 +440,9 @@ def triplet_aggregate_dense(p, e, mask, *, num_heads: int, gated: bool = True,
             a = jnp.transpose(dropout(r_dir, jnp.transpose(a, (0, 3, 1, 2)),
                                       attention_dropout, deterministic),
                               (0, 2, 3, 1))
-        va = _agg_core(a.reshape(b, n, n * h),
-                       v.reshape(b, n, n, d, h), interpret)
+        core = _maybe_shard_map(
+            lambda a_, v_: _agg_core(a_, v_, interpret), 2)
+        va = core(a.reshape(b, n, n * h), v.reshape(b, n, n, d, h))
         va = va.reshape(b, n, n, d, h)
         return jnp.einsum("bjidh,dhw->bjiw", va, w_dir)
 
@@ -473,7 +505,10 @@ def triplet_attention_dense(p, e, mask, *, num_heads: int, gated: bool = True,
             m = jnp.swapaxes(mask, 1, 2)
         bias = e_b + m
         gate = (g_b + m) if gated else None
-        va = _dense_core(q, k, v, bias, gate, gated, interpret)
+        core = _maybe_shard_map(
+            lambda q_, k_, v_, b_, g_: _dense_core(q_, k_, v_, b_, g_,
+                                                   gated, interpret), 5)
+        va = core(q, k, v, bias, gate)
         # va: (b, j, i, (d*H+h)) -> contract split lin_O -> (b, j, i, w)
         va = va.reshape(b, n, n, d, h)
         return jnp.einsum("bjidh,dhw->bjiw", va, w_dir)

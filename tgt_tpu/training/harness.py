@@ -153,13 +153,21 @@ class Trainer:
             # Mosaic kernels cannot be partitioned by GSPMD AT ALL — even
             # batch-axis data parallelism raises NotImplementedError('wrap
             # the call in a shard_map') at TPU lowering (verified; see
-            # docs/DESIGN.md "Pallas x sharding"). Fail at config time with
-            # the workaround instead of deep in compilation.
-            raise ValueError(
-                "use_pallas kernels run single-device only in the mesh "
-                "Trainer (Mosaic is opaque to GSPMD; even data parallelism "
-                "would need a shard_map wrapper) — set use_mesh: false on "
-                "one chip, or use the jnp triplet path on meshes")
+            # docs/DESIGN.md "Pallas x sharding"). The dense kernels ship
+            # that shard_map wrapper (every operand is batch-leading):
+            # register the mesh so their cores shard over 'data'. The
+            # legacy fused kernel and pair sharding stay rejected.
+            if self.cfg.use_pallas == "dense" and self.num_pair == 1:
+                from tgt_tpu.ops.pallas.triplet_dense import (
+                    set_dense_data_mesh)
+                set_dense_data_mesh(self.mesh)
+            else:
+                raise ValueError(
+                    "use_pallas=True (fused kernel) and num_pair_devices>1 "
+                    "do not compose with the mesh Trainer (Mosaic is opaque "
+                    "to GSPMD; only use_pallas='dense' ships the shard_map "
+                    "data-parallel wrapper) — set use_mesh: false on one "
+                    "chip, or use the jnp triplet path")
 
         self.model_path = self.cfg.save_path
         self.log_path = os.path.join(self.model_path, "logs")
