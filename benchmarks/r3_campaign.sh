@@ -60,4 +60,9 @@ run serving_map 1200 python benchmarks/serving_bench.py --mc-mode map \
 run serving_vmap 1200 python benchmarks/serving_bench.py --mc-mode vmap \
     --requests 4 --cache-dir /root/repo/.jax_cache
 
+# 7. serving with the lane-dense kernel (all buckets qualify at flagship
+# widths; MC-dropout keeps triplet_dropout=0 so the kernel stays active)
+run serving_dense 1200 python benchmarks/serving_bench.py --mc-mode map \
+    --dense --requests 4 --cache-dir /root/repo/.jax_cache
+
 log "campaign complete; results in $OUT"

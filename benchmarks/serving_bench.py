@@ -54,6 +54,10 @@ def main():
                     choices=["auto", "map", "vmap"],
                     help="MC-draw schedule: sequential lax.map vs "
                          "vmap-over-draws (VERDICT r2 #8 lever)")
+    ap.add_argument("--dense", action="store_true",
+                    help="lane-dense Mosaic triplet kernel "
+                         "(use_pallas='dense'; all serving buckets qualify "
+                         "at flagship widths)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -72,6 +76,7 @@ def main():
                     model_height=args.layers, triplet_heads=16,
                     triplet_type="attention", num_dist_bins=256,
                     compute_dtype="bfloat16", remat=False, use_scan=True,
+                    use_pallas="dense" if args.dense else False,
                     node_ended=True, edge_ended=False)
     params = gap_model_init(jax.random.PRNGKey(0), cfg)
     pred = GapPredictor(params, cfg, mc_samples=args.mc,
@@ -108,6 +113,11 @@ def main():
           f"min={lat.min()*1e3:.0f}ms  max={lat.max()*1e3:.0f}ms")
     print(f"  throughput best={thr.max():.1f} mol/s  "
           f"median={np.percentile(thr,50):.1f} mol/s")
+    import json
+    print(json.dumps({"mc_mode": args.mc_mode, "dense": args.dense,
+                      "mc": args.mc, "molecules": args.molecules,
+                      "mol_per_s": round(float(np.percentile(thr, 50)), 1),
+                      "p50_s": round(float(np.percentile(lat, 50)), 3)}))
 
 
 if __name__ == "__main__":

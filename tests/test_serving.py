@@ -93,6 +93,15 @@ class TestGapPredictor:
         gaps = pred.predict(molecules(3))
         assert gaps.shape == (3,)
         assert np.all(np.isfinite(gaps))
+        # serving-time kernel override: a jnp-trained checkpoint can serve
+        # through the dense kernels (falls back at unsupported geometries)
+        pred2 = GapPredictor.from_model_dir(str(tmp_path / "srv"),
+                                            mc_samples=2, batch_size=4,
+                                            buckets=(12,),
+                                            use_pallas="dense")
+        assert pred2.cfg.use_pallas == "dense"
+        gaps2 = pred2.predict(molecules(3))
+        assert np.all(np.isfinite(gaps2))
 
 
 class TestDistancePredictor:

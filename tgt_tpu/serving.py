@@ -80,21 +80,28 @@ class _BasePredictor:
                        batch_size: int = 16,
                        buckets: Sequence[int] = (16, 32, 48, 64),
                        which: str = "checkpoint",
+                       use_pallas=None,
                        **predictor_kwargs) -> "_BasePredictor":
         """Load config.yaml + the saved checkpoint from a model dir.
-        Extra kwargs (mc_mode, mc_vmap_max_nodes, seed,
-        compilation_cache_dir, ...) pass through to the constructor."""
+        `use_pallas` (e.g. 'dense') overrides the trained config's kernel
+        choice — the kernels are bitwise-compatible with the jnp path, so a
+        jnp-trained checkpoint can serve through the fused kernels. Extra
+        kwargs (mc_mode, mc_vmap_max_nodes, seed, compilation_cache_dir,
+        ...) pass through to the constructor."""
         import os
 
         from tgt_tpu.training.checkpoint import load_pytree
 
         cfg_dict = load_yaml(os.path.join(model_dir, "config.yaml"))
         scheme = get_scheme(cfg_dict["scheme"])(cfg_dict, command="evaluate")
+        model_cfg = scheme.model_cfg
+        if use_pallas is not None:
+            model_cfg = model_cfg.replace(use_pallas=use_pallas)
         init, _ = make_model(cls.MODEL)
-        template = init(jax.random.PRNGKey(0), scheme.model_cfg)
+        template = init(jax.random.PRNGKey(0), model_cfg)
         path = os.path.join(model_dir, which, "model.npz")
         params, _, _ = load_pytree(template, path)
-        return cls(jax.tree.map(jnp.asarray, params), scheme.model_cfg,
+        return cls(jax.tree.map(jnp.asarray, params), model_cfg,
                    mc_samples=mc_samples, batch_size=batch_size,
                    buckets=buckets, **predictor_kwargs)
 
