@@ -101,7 +101,7 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def build(small: bool):
+def build(small: bool, dense: bool = False):
     import jax
     import jax.numpy as jnp
     from tgt_tpu.models import TGTConfig, make_model
@@ -123,7 +123,9 @@ def build(small: bool):
                         triplet_type="attention", num_dist_bins=256,
                         source_dropout=0.3, drop_path=0.2,
                         node_act_dropout=0.1, edge_act_dropout=0.1,
-                        compute_dtype="bfloat16", use_scan=True, remat=True,
+                        compute_dtype="bfloat16", use_scan=True,
+                        use_pallas="dense" if dense else False,
+                        remat=not dense,
                         node_ended=False, edge_ended=True)
         bsz, n = 8, 48
 
@@ -215,6 +217,9 @@ def compiled_costs(step, *example_args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--dense", action="store_true",
+                    help="lane-dense Mosaic triplet kernel (remat off: its "
+                         "custom VJP saves only N^2 residuals)")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("TGT_BENCH_BUDGET", 1020)),
@@ -277,7 +282,7 @@ def main():
         raise RuntimeError(f"TPU claim never released: {last_err}")
     _update("tpu-acquired", device=str(jax.devices()[0]))
 
-    step, params, opt_state, bsz, n, pool = build(args.small)
+    step, params, opt_state, bsz, n, pool = build(args.small, args.dense)
     rs = np.random.RandomState(1)
 
     def one(i):
