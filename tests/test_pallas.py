@@ -219,6 +219,26 @@ class TestTripletDenseKernel:
             np.testing.assert_allclose(b_ / scale, a / scale, rtol=0,
                                        atol=1e-5)
 
+    def test_fully_masked_sample_stays_finite_and_equal(self):
+        """Bucketed batches pad with all-masked samples (pad_batch_dim);
+        the kernel must stay finite and oracle-equal there — a 0/0 in its
+        softmax would poison the masked loss (0 * NaN = NaN)."""
+        from tgt_tpu.ops.pallas.triplet_dense import triplet_attention_dense
+        b, n, w, h = 2, 16, 128, 8
+        p = triplet_attention_init(jax.random.PRNGKey(0), w, h, gated=True)
+        e = jax.random.normal(jax.random.PRNGKey(2), (b, n, n, w))
+        nm = np.ones((b, n), np.float32)
+        nm[1, :] = 0
+        mask = additive_mask_from_node_mask(jnp.asarray(nm))
+        ref = triplet_attention(p, e, mask, num_heads=h)
+        got = triplet_attention_dense(p, e, mask, num_heads=h, gated=True)
+        assert np.isfinite(np.asarray(got)).all()
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        g = jax.grad(lambda ee: (triplet_attention_dense(
+            p, ee, mask, num_heads=h, gated=True) ** 2).sum())(e)
+        assert np.isfinite(np.asarray(g)).all()
+
     def test_padding_invariance_across_buckets(self):
         """Same real nodes padded to N=16 vs N=32 give identical outputs at
         valid positions — the kernel's additive-mask handling must ignore
