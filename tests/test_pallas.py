@@ -219,6 +219,29 @@ class TestTripletDenseKernel:
             np.testing.assert_allclose(b_ / scale, a / scale, rtol=0,
                                        atol=1e-5)
 
+    def test_data_mesh_shard_map_aggregate(self):
+        """The aggregate core is also routed through shard_map when a data
+        mesh is registered — numerics must match the unsharded call."""
+        from jax.sharding import Mesh
+        from tgt_tpu.ops.pallas import triplet_dense as td
+        from tgt_tpu.ops.triplet import (triplet_aggregate,
+                                         triplet_aggregate_init)
+        b, n, w, h = 2, 16, 128, 8
+        p = triplet_aggregate_init(jax.random.PRNGKey(0), w, h, gated=True)
+        e = jax.random.normal(jax.random.PRNGKey(2), (b, n, n, w))
+        nm = np.ones((b, n), np.float32)
+        nm[1, 11:] = 0
+        mask = additive_mask_from_node_mask(jnp.asarray(nm))
+        ref = triplet_aggregate(p, e, mask, num_heads=h, use_pallas="dense")
+        td.set_dense_data_mesh(Mesh(np.array(jax.devices()[:2]), ("data",)))
+        try:
+            got = triplet_aggregate(p, e, mask, num_heads=h,
+                                    use_pallas="dense")
+        finally:
+            td.set_dense_data_mesh(None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
     def test_fully_masked_sample_stays_finite_and_equal(self):
         """Bucketed batches pad with all-masked samples (pad_batch_dim);
         the kernel must stay finite and oracle-equal there — a 0/0 in its
