@@ -227,6 +227,9 @@ def main():
                          "and exits when it fires")
     args = ap.parse_args()
 
+    if args.small and args.dense:
+        ap.error("--dense applies to the flagship config only (the small "
+                 "config's geometry, d*H=64, is not dense-supported)")
     _arm_watchdog(max(30, int(args.budget)))
     _update("importing-jax")
 

@@ -53,9 +53,14 @@ def main(outdir):
         if rec is None:
             print(f"{name:28s} {'-':>8s} {'-':>9s}  FAILED: {err}")
             continue
-        ms = rec.get("step_ms") or rec.get("ms_per_step")
-        gs = rec.get("graphs_per_s") or rec.get("graphs_s") \
-            or rec.get("mol_per_s")
+        def first_of(*keys):
+            for key in keys:
+                if rec.get(key) is not None:
+                    return rec[key]
+            return None
+
+        ms = first_of("step_ms", "ms_per_step")
+        gs = first_of("graphs_per_s", "graphs_s", "mol_per_s")
         detail = {k: v for k, v in rec.items()
                   if k in ("value", "unit", "vs_baseline", "mfu",
                            "sol_bandwidth", "b", "n", "remat", "pallas",
@@ -78,8 +83,8 @@ def main(outdir):
         b = last_ms(prod) if prod else R2_BASELINES[base_key]
         d = last_ms(dense)
         r2 = R2_BASELINES[base_key]
-        if d:
-            ref = b or r2
+        if d is not None and d > 0:
+            ref = b if (b is not None and b > 0) else r2
             print(f"{label}: dense {d} ms vs prod {ref} ms "
                   f"({ref / d:.2f}x) | r2 record {r2} ms ({r2 / d:.2f}x)")
 

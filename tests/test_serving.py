@@ -145,32 +145,23 @@ class TestTwoStagePredictor:
         out = TwoStagePredictor(dp, gp).predict([])
         assert out.shape == (0,)
 
-    def test_from_model_dirs_reads_trained_range_bins(self, tmp_path,
-                                                      monkeypatch):
+    def test_from_model_dirs_reads_trained_range_bins(self, monkeypatch):
         """range_bins defaults to the distance model's trained
-        range_dist_bins from its config.yaml, not a hardcoded 8.0."""
-        import yaml
+        range_dist_bins (the scheme config from_model_dir loads), not a
+        hardcoded 8.0."""
         from types import SimpleNamespace
         from tgt_tpu import serving as srv
-        d = tmp_path / "dist"
-        d.mkdir()
-        cfg = dict(scheme="pcqm.dist_pred", model_name="dist",
-                   dataset_source="synthetic", synth_train_samples=8,
-                   synth_val_samples=4, synth_max_nodes=10, batch_size=4,
-                   buckets=[12], model_height=2, node_width=16, edge_width=8,
-                   num_heads=4, triplet_heads=2, num_dist_bins=8,
-                   range_dist_bins=12.5, coords_input="rdkit")
-        with open(d / "config.yaml", "w") as f:
-            yaml.safe_dump(cfg, f)
-        stub = SimpleNamespace(cfg=SimpleNamespace(num_dist_bins=8))
+        stub = SimpleNamespace(
+            cfg=SimpleNamespace(num_dist_bins=8),
+            scheme_cfg=SimpleNamespace(range_dist_bins=12.5))
         monkeypatch.setattr(srv.DistancePredictor, "from_model_dir",
                             classmethod(lambda cls, p, **kw: stub))
         monkeypatch.setattr(srv.GapPredictor, "from_model_dir",
                             classmethod(lambda cls, p, **kw: stub))
-        two = srv.TwoStagePredictor.from_model_dirs(str(d), "unused")
+        two = srv.TwoStagePredictor.from_model_dirs("unused_d", "unused_g")
         assert two.range_bins == 12.5
         # explicit argument still wins
-        two = srv.TwoStagePredictor.from_model_dirs(str(d), "unused",
+        two = srv.TwoStagePredictor.from_model_dirs("unused_d", "unused_g",
                                                     range_bins=4.0)
         assert two.range_bins == 4.0
 

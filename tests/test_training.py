@@ -476,10 +476,26 @@ class TestGradAccumulation:
         assert tr.mesh is None
         assert td._DATA_MESH is None
 
+    def test_each_micro_batch_shards_over_the_data_axis(self, tmp_path):
+        """Batches pad to multiples of nd * grad_accum_steps so every
+        micro-batch (size batch/accum) divides over the data axis — lcm is
+        NOT enough when gcd(nd, accum) > 1 (8 devices, accum 2, batch 8:
+        lcm pads to 8 but the micro-batch of 4 cannot shard over 8 devices;
+        the dense kernel's shard_map rejects it at trace)."""
+        scheme2, trainer2 = make_trainer(PretrainScheme, tmp_path, "ga4b",
+                                         batch_size=8, grad_accum_steps=2)
+        batch2 = next(iter(scheme2.train_loader(0, 0, 1)))
+        sharded2 = trainer2.shard_device_batch(scheme2.device_batch(batch2))
+        nd = trainer2.mesh.shape["data"]
+        for k, v in sharded2.items():
+            if np.ndim(v) >= 1:
+                assert np.shape(v)[0] == 16, k       # nd*accum, not lcm=8
+                assert (np.shape(v)[0] // 2) % nd == 0
+
     def test_uneven_batch_pads_to_lcm_of_mesh_and_accum(self, tmp_path):
         """An uneven final batch must pad to a size BOTH the data axis and
         grad_accum_steps divide (host batch 6, accum 3, 8 data devices ->
-        pad to lcm(8,3)=24; padding only to 8 would trip accumulated_grad's
+        pad to nd*accum=24; padding only to 8 would trip accumulated_grad's
         divisibility check at trace time)."""
         scheme, trainer = make_trainer(PretrainScheme, tmp_path, "ga4",
                                        batch_size=6, grad_accum_steps=3)

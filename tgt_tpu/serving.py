@@ -46,6 +46,12 @@ class _BasePredictor:
         # per-bucket compiles entirely (warmup() then costs ~ms per shape)
         from tgt_tpu.utils.compile_cache import enable_compilation_cache
         enable_compilation_cache(compilation_cache_dir)
+        if getattr(model_cfg, "use_pallas", False) == "dense":
+            # serving is single-device: clear any dense-kernel data mesh a
+            # Trainer registered earlier in this process, or every bucket
+            # would trace through a stale shard_map over the training mesh
+            from tgt_tpu.ops.pallas.triplet_dense import set_dense_data_mesh
+            set_dense_data_mesh(None)
         self.params = params
         self.cfg = model_cfg
         self.mc_samples = mc_samples
@@ -101,9 +107,14 @@ class _BasePredictor:
         template = init(jax.random.PRNGKey(0), model_cfg)
         path = os.path.join(model_dir, which, "model.npz")
         params, _, _ = load_pytree(template, path)
-        return cls(jax.tree.map(jnp.asarray, params), model_cfg,
+        pred = cls(jax.tree.map(jnp.asarray, params), model_cfg,
                    mc_samples=mc_samples, batch_size=batch_size,
                    buckets=buckets, **predictor_kwargs)
+        # full scheme config (training-time knobs like range_dist_bins) for
+        # consumers that need more than the model config, e.g.
+        # TwoStagePredictor.from_model_dirs
+        pred.scheme_cfg = scheme.cfg
+        return pred
 
     # -- device side ------------------------------------------------------
     def _mc_forward(self, params, feed, rng):
@@ -254,17 +265,14 @@ class TwoStagePredictor:
                         range_bins: Optional[float] = None,
                         **kw) -> "TwoStagePredictor":
         """range_bins defaults to the distance model's TRAINED
-        range_dist_bins (from its config.yaml) — a model trained with a
-        non-default bin range would otherwise decode systematically scaled
-        distances."""
+        range_dist_bins (from the scheme config from_model_dir already
+        loads) — a model trained with a non-default bin range would
+        otherwise decode systematically scaled distances."""
+        distance = DistancePredictor.from_model_dir(dist_dir, **kw)
         if range_bins is None:
-            import os
-            cfg_dict = load_yaml(os.path.join(dist_dir, "config.yaml"))
-            scheme = get_scheme(cfg_dict["scheme"])(cfg_dict,
-                                                    command="evaluate")
-            range_bins = float(scheme.cfg.range_dist_bins)
-        return cls(DistancePredictor.from_model_dir(dist_dir, **kw),
-                   GapPredictor.from_model_dir(gap_dir, **kw),
+            range_bins = float(getattr(distance.scheme_cfg,
+                                       "range_dist_bins", 8.0))
+        return cls(distance, GapPredictor.from_model_dir(gap_dir, **kw),
                    range_bins=range_bins)
 
     def predict(self, molecules: List[Dict]) -> np.ndarray:

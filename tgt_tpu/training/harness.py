@@ -149,25 +149,34 @@ class Trainer:
             self.mesh = make_mesh(
                 num_data=len(jax.devices()) // self.num_pair,
                 num_pair=self.num_pair)
-        if self.mesh is not None and getattr(self.cfg, "use_pallas", False):
+        if getattr(self.cfg, "use_pallas", False):
             # Mosaic kernels cannot be partitioned by GSPMD AT ALL — even
             # batch-axis data parallelism raises NotImplementedError('wrap
             # the call in a shard_map') at TPU lowering (verified; see
             # docs/DESIGN.md "Pallas x sharding"). The dense kernels ship
             # that shard_map wrapper (every operand is batch-leading):
-            # register the mesh so their cores shard over 'data'. The
-            # legacy fused kernel and pair sharding stay rejected.
-            if self.cfg.use_pallas == "dense" and self.num_pair == 1:
+            # register the mesh so their cores shard over 'data' — and
+            # CLEAR any registration left by a previous Trainer when this
+            # one runs meshless, so single-device traces don't route
+            # through a stale mesh. The legacy fused kernel and pair
+            # sharding stay rejected.
+            if self.cfg.use_pallas == "dense":
+                if self.num_pair > 1:
+                    raise ValueError(
+                        "use_pallas='dense' does not compose with "
+                        "num_pair_devices > 1 (the shard_map wrapper covers "
+                        "the data axis only; Mosaic is opaque to GSPMD) — "
+                        "use the jnp triplet path for pair-sharded configs")
                 from tgt_tpu.ops.pallas.triplet_dense import (
                     set_dense_data_mesh)
-                set_dense_data_mesh(self.mesh)
-            else:
+                set_dense_data_mesh(self.mesh)  # None clears when meshless
+            elif self.mesh is not None:
                 raise ValueError(
-                    "use_pallas=True (fused kernel) and num_pair_devices>1 "
-                    "do not compose with the mesh Trainer (Mosaic is opaque "
-                    "to GSPMD; only use_pallas='dense' ships the shard_map "
-                    "data-parallel wrapper) — set use_mesh: false on one "
-                    "chip, or use the jnp triplet path")
+                    "use_pallas=True (legacy fused kernel) does not compose "
+                    "with the mesh Trainer (Mosaic is opaque to GSPMD; only "
+                    "use_pallas='dense' ships the shard_map data-parallel "
+                    "wrapper) — set use_mesh: false on one chip, switch to "
+                    "use_pallas: dense, or use the jnp triplet path")
 
         self.model_path = self.cfg.save_path
         self.log_path = os.path.join(self.model_path, "logs")
@@ -226,15 +235,18 @@ class Trainer:
         semantics ever change, change BOTH)."""
         if self.mesh is None:
             return device_batch
-        import math
         from tgt_tpu.parallel.mesh import DATA_AXIS, make_global_batch
         nd = self.mesh.shape[DATA_AXIS]
-        # pad to a multiple of lcm(data-axis, grad_accum_steps): divisibility
-        # by nd alone could turn a previously accum-divisible uneven final
-        # batch into one that trips accumulated_grad's divisibility check
-        # (e.g. host batch 6, accum 3, 4 data devices -> 8, 8 % 3 != 0)
-        accum = int(getattr(self.cfg, "grad_accum_steps", 1) or 1)
-        quantum = math.lcm(nd, max(1, accum))
+        # pad to a multiple of nd * grad_accum_steps: each of the accum
+        # micro-batches (size batch/accum) must itself divide over the data
+        # axis — lcm(nd, accum) is NOT enough when gcd(nd, accum) > 1
+        # (e.g. 8 data devices, accum 2, batch 8: lcm pads to 8, but the
+        # micro-batch of 4 cannot shard over 8 devices; the dense kernel's
+        # shard_map rejects it at trace, and GSPMD would shard it
+        # degenerately). nd*accum also keeps accumulated_grad's accum-
+        # divisibility check satisfied.
+        accum = max(1, int(getattr(self.cfg, "grad_accum_steps", 1) or 1))
+        quantum = nd * accum
         lead = [np.shape(v)[0] for v in device_batch.values()
                 if np.ndim(v) >= 1]
         b = max(lead) if lead else 0
