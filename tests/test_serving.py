@@ -104,6 +104,27 @@ class TestGapPredictor:
         assert np.all(np.isfinite(gaps2))
 
 
+class TestDenseKernelServing:
+    def test_predictor_clears_stale_training_mesh(self):
+        """A Trainer registers the dense kernels' data mesh process-wide;
+        a dense-serving predictor in the same process must clear it or
+        every bucket traces through a stale shard_map over the training
+        mesh (batch sizes not divisible by its data axis crash)."""
+        from jax.sharding import Mesh
+        import numpy as onp
+        from tgt_tpu.ops.pallas import triplet_dense as td
+        init, _ = make_model("gap")
+        cfg = CFG.replace(use_pallas="dense")
+        params = init(jax.random.PRNGKey(0), cfg)
+        td.set_dense_data_mesh(Mesh(onp.array(jax.devices()[:8]), ("data",)))
+        try:
+            GapPredictor(params, cfg, mc_samples=1, batch_size=4,
+                         buckets=(12,))
+            assert td._DATA_MESH is None
+        finally:
+            td.set_dense_data_mesh(None)
+
+
 class TestDistancePredictor:
     def test_probs_symmetric(self):
         init, _ = make_model("distance")
