@@ -238,6 +238,35 @@ def main():
 
     _enable_compile_cache()
 
+    # Cooperative sequencing vs the measurement campaign (VERDICT r3 #6):
+    # the tunnel admits ONE process at a time, and in an outage-recovery
+    # window the watcher-launched campaign and the driver's bench.py would
+    # otherwise collide. Protocol: the campaign holds
+    # /tmp/tgt_tpu_campaign.lock only WHILE one of its steps runs (so the
+    # lock clearing means the tunnel is free), and yields to us between
+    # steps when it sees our pid file. Campaign-spawned bench runs skip the
+    # wait via TGT_CAMPAIGN=1.
+    _BENCH_PID_FILE = "/tmp/tgt_tpu_bench.pid"
+    try:
+        with open(_BENCH_PID_FILE, "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass
+    if os.environ.get("TGT_CAMPAIGN") != "1":
+        _CAMPAIGN_LOCK = "/tmp/tgt_tpu_campaign.lock"
+        t_lock = time.time()
+        while time.time() - t_lock < 900:
+            try:
+                pid = int(open(_CAMPAIGN_LOCK).read().strip())
+                os.kill(pid, 0)  # raises if the holder is gone
+            except (OSError, ValueError):
+                break
+            _update("waiting-for-campaign-lock", campaign_pid=pid)
+            time.sleep(20)
+        else:
+            _update("campaign-lock-wait-expired")  # proceed anyway;
+            # the claim-acquire retries below are the second line
+
     # Fail FAST when the TPU relay itself is down (observed 2026-08-18:
     # 127.0.0.1:8082/:8083 connection-refused for hours; the axon plugin
     # retries the connect internally so jax.devices() hangs forever and

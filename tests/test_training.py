@@ -340,7 +340,8 @@ class TestPrecompile:
                                        buckets=[12, 16],
                                        precompile_buckets=True)
         state = trainer.init_state(jax.random.PRNGKey(0))
-        trainer.precompile(state)   # must not raise; compiles both buckets
+        done = trainer.precompile(state)   # compiles both buckets
+        assert done == [12, 16]
         # training afterwards reuses the compiled shapes
         result = trainer.fit(num_epochs=1)
         assert np.isfinite(result["history"][-1]["loss"])
@@ -593,6 +594,61 @@ class TestStatePersistence:
         scheme2, trainer2 = make_trainer(PretrainScheme, tmp_path, "rec")
         trainer2.load_or_init(jax.random.PRNGKey(0))
         assert trainer2.recovery_tries == 3
+
+
+class TestPrecompileCoversSmallBuckets:
+    def test_bucket_smaller_than_sampled_batch(self, tmp_path):
+        """Every CONFIGURED bucket must compile, including ones smaller
+        than the first sampled batch's node count (VERDICT r3 #4: a
+        silently skipped bucket stalls minutes in the tunnel compiler the
+        first time a real batch hits it mid-epoch)."""
+        # synth_max_nodes=10 > bucket 8 -> the old code skipped bucket 8
+        scheme, trainer = make_trainer(PretrainScheme, tmp_path, "pcs",
+                                       buckets=[8, 12],
+                                       precompile_buckets=True)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        done = trainer.precompile(state)
+        assert done == [8, 12]
+
+
+class TestMicroWeightFailLoud:
+    def test_missing_sample_mask_raises(self, tmp_path):
+        """Accumulated-grad batches without sample_mask must error at trace
+        time instead of silently inferring weights (VERDICT r3 #8)."""
+        import jax.numpy as jnp
+        scheme, trainer = make_trainer(PretrainScheme, tmp_path, "mw1",
+                                       batch_size=8, grad_accum_steps=2)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        step = trainer.build_train_step()
+        batch = next(iter(scheme.train_loader(0, 0, 1)))
+        db = scheme.device_batch(batch)
+        db.pop("sample_mask")
+        with pytest.raises(ValueError, match="sample_mask"):
+            step(state, db, jnp.asarray(0), jax.random.PRNGKey(1),
+                 jnp.asarray(1.0))
+
+    def test_opt_in_heuristic_still_works(self, tmp_path):
+        """A custom loss that doesn't need sample_mask can opt into the
+        node_mask heuristic with infer_micro_weights=True."""
+        import jax.numpy as jnp
+
+        class RawLossScheme(PretrainScheme):
+            def loss_fn(self, params, batch, rng):
+                nm = batch["node_mask"].astype(jnp.float32)
+                leaf = jax.tree.leaves(params)[0]
+                return jnp.sum(leaf ** 2) * jnp.mean(nm), {}
+
+        scheme, trainer = make_trainer(RawLossScheme, tmp_path, "mw2",
+                                       batch_size=8, grad_accum_steps=2,
+                                       infer_micro_weights=True)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        step = trainer.build_train_step()
+        batch = next(iter(scheme.train_loader(0, 0, 1)))
+        db = scheme.device_batch(batch)
+        db.pop("sample_mask")
+        _, metrics = step(state, db, jnp.asarray(0), jax.random.PRNGKey(1),
+                          jnp.asarray(1.0))
+        assert np.isfinite(np.asarray(metrics["loss"]))
 
 
 class TestGradAccumScalarBatchEntries:

@@ -90,22 +90,29 @@ def add_edge_mask(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return batch
 
 
-def repad_to_bucket(batch: Dict[str, np.ndarray], bucket: int
-                    ) -> Dict[str, np.ndarray]:
+def repad_to_bucket(batch: Dict[str, np.ndarray], bucket: int,
+                    allow_trim: bool = False) -> Dict[str, np.ndarray]:
     """Re-pad a batch's node axes to a different bucket size (used to
     pre-compile all bucket shapes up front — the TPU analog of the
-    reference's allocate_max_batch)."""
+    reference's allocate_max_batch). With ``allow_trim`` node axes LARGER
+    than the bucket are sliced down instead of raising — the result is
+    semantically garbage (real nodes truncated) but shape-exact, which is
+    all compile-cache filling needs."""
     out = {}
     for k, v in batch.items():
         if k in _NODE_AXES:
             pad = [(0, 0)] * v.ndim
+            idx = [slice(None)] * v.ndim
             for d in _NODE_AXES[k]:
                 cur = v.shape[d + 1]
                 if cur < bucket:
                     pad[d + 1] = (0, bucket - cur)
                 elif cur > bucket:
-                    raise ValueError(f"batch axis larger than bucket: {k}")
-            out[k] = np.pad(v, pad)
+                    if not allow_trim:
+                        raise ValueError(
+                            f"batch axis larger than bucket: {k}")
+                    idx[d + 1] = slice(0, bucket)
+            out[k] = np.pad(v[tuple(idx)], pad)
         else:
             out[k] = v
     return out

@@ -148,6 +148,10 @@ def default_scheme_config() -> Config:
         # micro-batch gradient accumulation inside the jitted step (the
         # reference has none); batch_size must divide evenly
         grad_accum_steps=1,
+        # accumulated-grad batches must carry sample_mask; True opts raw
+        # feeds into the node_mask-derived micro-weight heuristic instead
+        # of a trace-time error
+        infer_micro_weights=False,
         # ReduceLR-on-plateau (off unless rlr_factor set)
         rlr_factor=None,
         rlr_patience=10,

@@ -403,6 +403,20 @@ class Trainer:
             shared = {k: v for k, v in batch.items() if not splittable(v)}
             rngs = jax.random.split(rng, accum)
 
+            infer_weights = bool(getattr(self.cfg, "infer_micro_weights",
+                                         False))
+            if "sample_mask" not in batch and not infer_weights:
+                # fail LOUD at trace time (VERDICT r3 #8): silently
+                # inferred micro-weights can disagree with the loss's own
+                # normalization
+                raise ValueError(
+                    "grad_accum_steps>1 needs 'sample_mask' in the device "
+                    "batch (padded_collate/pad_batch_dim and "
+                    "shard_device_batch provide it). Set "
+                    "infer_micro_weights=True to opt into the "
+                    "node_mask-derived micro-weight heuristic for raw "
+                    "feeds.")
+
             def micro_weight(mb):
                 """Real (non-padding) sample count of a micro-batch. Uses
                 sample_mask — the SAME marker the masked-mean losses divide
@@ -413,8 +427,10 @@ class Trainer:
                 batches exact — a uniform 1/accum average would let
                 all-padding micro-batches dilute the gradient by up to
                 accum x (and their 0/0 masked-mean losses would poison it
-                with NaN). Falls back to the node_mask heuristic for raw
-                feeds that lack sample_mask."""
+                with NaN). Raw feeds that lack sample_mask fail LOUD at
+                trace time (checked in accumulated_grad above);
+                infer_micro_weights=True opts into the node_mask
+                heuristic."""
                 sm = mb.get("sample_mask")
                 if sm is not None:
                     return jnp.sum(sm.astype(jnp.float32))
@@ -494,28 +510,31 @@ class Trainer:
 
         return jax.jit(eval_step)
 
-    def precompile(self, state) -> None:
-        """AOT-compile the train step for every bucket shape before epoch 1
-        (analog of the reference's allocate_max_batch warmup,
+    def precompile(self, state) -> list:
+        """AOT-compile the train step for EVERY configured bucket shape
+        before epoch 1 (analog of the reference's allocate_max_batch warmup,
         tgt_training.py:118-135 — fixed shapes make it a compile cache fill
-        rather than an allocator cache fill)."""
+        rather than an allocator cache fill). Buckets smaller than the
+        sampled batch are covered too: the batch is trimmed to the bucket
+        shape (content is irrelevant — the executable cache is keyed on
+        shapes only). Returns the list of buckets compiled."""
         from tgt_tpu.data.collate import repad_to_bucket
         if self._train_step is None:
             self._train_step = self.build_train_step()
         loader = self.scheme.train_loader(0, self.rank, self.world_size)
         batch = next(iter(loader))
+        done = []
         for bucket in getattr(self.cfg, "buckets", []):
-            try:
-                fake = repad_to_bucket(batch, bucket)
-            except ValueError:
-                continue
+            fake = repad_to_bucket(batch, bucket, allow_trim=True)
             db = self.shard_device_batch(self.scheme.device_batch(fake))
             self._train_step.lower(
                 state, db, self._put_repl(jnp.asarray(0, jnp.int32)),
                 self._put_repl(self._make_key(0)),
                 self._put_repl(jnp.asarray(1.0, jnp.float32))).compile()
+            done.append(bucket)
             if self.is_main:
                 print(f"precompiled bucket {bucket}", flush=True)
+        return done
 
     # ------------------------------------------------------------------
     # loops
