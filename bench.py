@@ -125,7 +125,10 @@ def build(small: bool, dense: bool = False):
                         node_act_dropout=0.1, edge_act_dropout=0.1,
                         compute_dtype="bfloat16", use_scan=True,
                         use_pallas="dense" if dense else False,
-                        remat=not dense,
+                        # remat stays ON with the dense kernel: measured
+                        # 153.3 (remat) vs 163.4 ms (no-remat) at b=8 N=48
+                        # (campaign_r4 sweep_dense vs sweep_dense_noremat)
+                        remat=True,
                         node_ended=False, edge_ended=True)
         bsz, n = 8, 48
 
@@ -217,9 +220,16 @@ def compiled_costs(step, *example_args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
+    # The lane-dense Mosaic triplet kernel is the flagship DEFAULT since the
+    # round-4 on-chip adjudication: 153.3 ms/step vs 186.4 baseline at
+    # b=8 N=48 (sweep.py, 2026-08-18), 15.84 vs 19.98 ms on the isolated
+    # 4-layer core. --baseline measures the pure-XLA conv-emitter path.
     ap.add_argument("--dense", action="store_true",
-                    help="lane-dense Mosaic triplet kernel (remat off: its "
-                         "custom VJP saves only N^2 residuals)")
+                    help="(default for the flagship config; kept for "
+                         "compatibility with round-3 scripts)")
+    ap.add_argument("--baseline", action="store_true",
+                    help="disable the dense triplet kernel; measure the "
+                         "pure-XLA path")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("TGT_BENCH_BUDGET", 1020)),
@@ -230,6 +240,9 @@ def main():
     if args.small and args.dense:
         ap.error("--dense applies to the flagship config only (the small "
                  "config's geometry, d*H=64, is not dense-supported)")
+    if args.baseline and args.dense:
+        ap.error("--baseline and --dense are mutually exclusive")
+    dense = not args.small and not args.baseline
     _arm_watchdog(max(30, int(args.budget)))
     _update("importing-jax")
 
@@ -314,7 +327,7 @@ def main():
         raise RuntimeError(f"TPU claim never released: {last_err}")
     _update("tpu-acquired", device=str(jax.devices()[0]))
 
-    step, params, opt_state, bsz, n, pool = build(args.small, args.dense)
+    step, params, opt_state, bsz, n, pool = build(args.small, dense)
     rs = np.random.RandomState(1)
 
     def one(i):

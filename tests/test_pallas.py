@@ -407,11 +407,15 @@ class TestTPULowering:
         mask = jnp.zeros((b, n, n, 1), jnp.bfloat16)
         to_bf16 = functools.partial(jax.tree.map,
                                     lambda x: x.astype(jnp.bfloat16))
+        # interpret=False pins the COMPILED Mosaic path: interpret=None
+        # (the model-routed default) auto-resolves off the CPU backend here
         cases = [
             (to_bf16(triplet_attention_init(jax.random.PRNGKey(0), w, h)),
-             functools.partial(triplet_attention_dense, num_heads=h)),
+             functools.partial(triplet_attention_dense, num_heads=h,
+                               interpret=False)),
             (to_bf16(triplet_aggregate_init(jax.random.PRNGKey(1), w, h)),
-             functools.partial(triplet_aggregate_dense, num_heads=h)),
+             functools.partial(triplet_aggregate_dense, num_heads=h,
+                               interpret=False)),
         ]
         for p, fn in cases:
             def loss(pp, ee):
@@ -438,7 +442,8 @@ class TestTPULowering:
         mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
         sh = NamedSharding(mesh, P("data"))
         rep = NamedSharding(mesh, P())
-        fn = functools.partial(td.triplet_attention_dense, num_heads=h)
+        fn = functools.partial(td.triplet_attention_dense, num_heads=h,
+                               interpret=False)  # pin compiled Mosaic path
 
         def loss(pp, ee):
             return (fn(pp, ee, mask).astype(jnp.float32) ** 2).sum()

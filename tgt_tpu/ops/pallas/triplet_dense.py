@@ -392,7 +392,7 @@ _agg_core.defvjp(_agg_core_fwd, _agg_core_bwd)
 def triplet_aggregate_dense(p, e, mask, *, num_heads: int, gated: bool = True,
                             attention_dropout: float = 0.0,
                             deterministic: bool = True, rng=None,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret=None) -> jnp.ndarray:
     """Lane-dense fused aggregation for the (un)gated aggregate variants.
 
     The N^2 logits/softmax/gate/dropout stay in XLA (cheap, and keeps exact
@@ -411,6 +411,7 @@ def triplet_aggregate_dense(p, e, mask, *, num_heads: int, gated: bool = True,
             f"N % {JBLK} == 0; got N={n}, edge_width={w}, H={h} — the grid "
             f"would silently skip trailing j-blocks. Use the jnp path "
             f"(ops/triplet) for this geometry.")
+    interpret = _resolve_interpret(interpret)
     d = w // h
     e_ln = layernorm(p["tri_ln_e"], e)
     v_in, v_out = jnp.split(linear(p["lin_V"], e_ln), 2, axis=-1)
@@ -454,6 +455,16 @@ def triplet_aggregate_dense(p, e, mask, *, num_heads: int, gated: bool = True,
     return jnp.swapaxes(out_t, 1, 2) + p["lin_O"]["b"].astype(e.dtype)
 
 
+def _resolve_interpret(interpret):
+    """interpret=None means auto: compiled Mosaic on TPU, interpret mode on
+    every other backend — so configs that set use_pallas='dense' (the
+    published TGT-At flagship configs since round 4) keep working on the
+    hermetic forced-CPU test mesh without callers threading the flag."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
 def dense_supported(n: int, edge_width: int, num_heads: int) -> bool:
     d = edge_width // num_heads
     return (n * num_heads) % 128 == 0 and (d * num_heads) % 128 == 0 \
@@ -461,7 +472,7 @@ def dense_supported(n: int, edge_width: int, num_heads: int) -> bool:
 
 
 def triplet_attention_dense(p, e, mask, *, num_heads: int, gated: bool = True,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret=None) -> jnp.ndarray:
     """Drop-in lane-dense fused triplet attention (both directions).
 
     Same parameters/semantics as ops/triplet.triplet_attention with
@@ -479,6 +490,7 @@ def triplet_attention_dense(p, e, mask, *, num_heads: int, gated: bool = True,
             f"N % {JBLK} == 0; got N={n}, edge_width={w}, H={h} — the grid "
             f"would silently skip trailing j-blocks. Use the jnp path "
             f"(ops/triplet) for this geometry.")
+    interpret = _resolve_interpret(interpret)
     d = w // h
     scale = d ** -0.5
     e_ln = layernorm(p["tri_ln_e"], e)

@@ -41,7 +41,7 @@ class _BasePredictor:
     def __init__(self, params, model_cfg: TGTConfig, mc_samples: int = 10,
                  batch_size: int = 16, buckets: Sequence[int] = (16, 32, 48, 64),
                  seed: int = 0, compilation_cache_dir: Optional[str] = None,
-                 mc_mode: str = "map", mc_vmap_max_nodes: int = 32):
+                 mc_mode: str = "map", mc_vmap_max_nodes: int = 0):
         # persistent executable cache: a restarted serving process skips the
         # per-bucket compiles entirely (warmup() then costs ~ms per shape)
         from tgt_tpu.utils.compile_cache import enable_compilation_cache
@@ -57,12 +57,16 @@ class _BasePredictor:
         self.mc_samples = mc_samples
         self.batch_size = batch_size
         self.buckets = tuple(buckets)
-        # MC-draw scheduling: 'map' = sequential lax.map (lowest memory,
-        # the default until the vmap path is measured on chip), 'vmap' =
-        # all draws batched into one device program (highest throughput
-        # while activations fit), 'auto' = vmap for buckets up to
-        # mc_vmap_max_nodes, map above. Decided per compiled shape — the
-        # bucket size is static at trace time.
+        # MC-draw scheduling: 'map' = sequential lax.map, 'vmap' = all
+        # draws batched into one device program, 'auto' = vmap for buckets
+        # up to mc_vmap_max_nodes, map above. Decided per compiled shape —
+        # the bucket size is static at trace time. MEASURED on TPU v5e at
+        # flagship widths over the PCQM-like size mix (benchmarks/
+        # campaign_r4, 2026-08-18): map 43.5 mol/s vs vmap 26.8 mol/s at
+        # mc=10 — the N^3 triplet work already saturates the chip at b=16,
+        # so batching MC draws only grows working set. mc_vmap_max_nodes
+        # therefore defaults to 0 (auto == map everywhere); raise it only
+        # for small-molecule regimes you have measured yourself.
         if mc_mode not in ("auto", "map", "vmap"):
             raise ValueError(f"mc_mode must be auto|map|vmap, got {mc_mode}")
         self.mc_mode = mc_mode
