@@ -120,10 +120,68 @@ class TestTripletDenseKernel:
 
     def test_supported_geometries(self):
         from tgt_tpu.ops.pallas.triplet_dense import dense_supported
-        # every production bucket at flagship triplet geometry
-        assert all(dense_supported(n, 256, 16) for n in (16, 32, 48, 64))
-        assert not dense_supported(12, 256, 16)   # n % JBLK
+        # EVERY production bucket (24..56) at flagship triplet geometry —
+        # non-JBLK multiples are handled by exact j-axis zero-padding
+        assert all(dense_supported(n, 256, 16)
+                   for n in (16, 24, 32, 40, 48, 56, 64))
+        assert not dense_supported(12, 256, 16)   # 12*16 lanes not 128-dense
         assert not dense_supported(16, 32, 4)     # lanes not 128-dense
+
+    @pytest.mark.parametrize("n", [24, 40])
+    def test_jpadded_buckets_match_jnp(self, n):
+        """Buckets that are not JBLK multiples run via exact j-padding:
+        fwd AND grads must match the jnp oracle (padded-j rows feed zero
+        cotangents into the cross-j dbias/dgate/dK/dV accumulations)."""
+        from tgt_tpu.ops.pallas.triplet_dense import triplet_attention_dense
+        b, w, h = 2, 256, 16
+        p = triplet_attention_init(jax.random.PRNGKey(0), w, h, gated=True)
+        e = jax.random.normal(jax.random.PRNGKey(2), (b, n, n, w)) * 0.5
+        nm = np.ones((b, n), np.float32)
+        nm[1, n - 5:] = 0
+        mask = additive_mask_from_node_mask(jnp.asarray(nm))
+        ref = triplet_attention(p, e, mask, num_heads=h)
+        got = triplet_attention_dense(p, e, mask, num_heads=h, gated=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(fn, pp, ee):
+            return (fn(pp, ee, mask, num_heads=h) ** 2).sum()
+
+        g_ref = jax.grad(loss, argnums=(1, 2))(triplet_attention, p, e)
+        g_den = jax.grad(loss, argnums=(1, 2))(
+            functools.partial(triplet_attention_dense, gated=True), p, e)
+        for a, b_ in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_den)):
+            a, b_ = np.asarray(a), np.asarray(b_)
+            scale = np.abs(a).max() + 1e-9
+            np.testing.assert_allclose(b_ / scale, a / scale, rtol=0,
+                                       atol=1e-4)
+
+    def test_jpadded_aggregate_matches_jnp(self):
+        from tgt_tpu.ops.pallas.triplet_dense import triplet_aggregate_dense
+        from tgt_tpu.ops.triplet import (triplet_aggregate,
+                                         triplet_aggregate_init)
+        b, n, w, h = 2, 24, 256, 16
+        p = triplet_aggregate_init(jax.random.PRNGKey(1), w, h, gated=True)
+        e = jax.random.normal(jax.random.PRNGKey(2), (b, n, n, w)) * 0.5
+        nm = np.ones((b, n), np.float32)
+        nm[1, n - 5:] = 0
+        mask = additive_mask_from_node_mask(jnp.asarray(nm))
+        ref = triplet_aggregate(p, e, mask, num_heads=h)
+        got = triplet_aggregate_dense(p, e, mask, num_heads=h, gated=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(fn, pp, ee):
+            return (fn(pp, ee, mask, num_heads=h) ** 2).sum()
+
+        g_ref = jax.grad(loss, argnums=(1, 2))(triplet_aggregate, p, e)
+        g_den = jax.grad(loss, argnums=(1, 2))(
+            functools.partial(triplet_aggregate_dense, gated=True), p, e)
+        for a, b_ in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_den)):
+            a, b_ = np.asarray(a), np.asarray(b_)
+            scale = np.abs(a).max() + 1e-9
+            np.testing.assert_allclose(b_ / scale, a / scale, rtol=0,
+                                       atol=1e-4)
 
     @pytest.mark.parametrize("gated", [True, False])
     def test_forward_matches_jnp(self, dense_inputs, gated):

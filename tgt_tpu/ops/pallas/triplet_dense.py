@@ -10,8 +10,12 @@ the N^3 data lane-dense end-to-end and never writes any N^3 tensor to HBM.
 Layout ("k-major" lane packing): logits tiles are (i, k*H + h) — at the
 flagship geometry 48 x 768 lanes, an exact multiple of the 128-lane vreg.
 Value/query panels are (i, d*H + h) = 48 x 256. Requirements: N*H % 128 == 0
-and d*H % 128 == 0 (all production buckets 16/32/48/64 with H=16 qualify;
-the wrapper falls back to the jnp path otherwise).
+and d*H % 128 == 0 (EVERY production bucket 24..56 with H=16 qualifies; the
+wrapper falls back to the jnp path otherwise). Buckets that are not JBLK
+multiples run with the j grid axis zero-padded to the next JBLK multiple —
+exact, because j rows are independent in the forward and the padded rows'
+cotangents are zero in every cross-j accumulation (dbias/dgate/dK/dV); cost
+is (pad/n) extra j-blocks on one axis, never cubic.
 
 Matmuls use the MXU via h-BLOCK-DIAGONAL operands built in VMEM with zero
 transposes: an operand like K_big[(d,h'),(k,h)] = K[k,d,h] * (h'==h) is an
@@ -213,13 +217,17 @@ def _bwd_kernel(qp_ref, kfl_ref, vp_ref, kp_ref, vfl_ref, biasp_ref,
 # ---------------------------------------------------------------------------
 
 def _pack(q, k, v, bias, gate):
-    """(b,n,n,d,h)/(b,n,n,h) -> lane-dense kernel panels."""
-    b, n, _, d, h = q.shape
-    qp = q.transpose(0, 2, 1, 3, 4).reshape(b, n, n, d * h)   # [b,j,i,(dh)]
-    kfl = k.transpose(0, 1, 3, 2, 4).reshape(b, n, d, n * h)  # [b,j,d,(kh)]
-    vp = v.reshape(b, n, n, d * h)                            # [b,j,k,(dh)]
-    biasp = bias.reshape(b, n, n * h)                         # [b,i,(kh)]
-    gatep = gate.reshape(b, n, n * h) if gate is not None else None
+    """(b,ni,nj,d,h)/(b,ni,ni,h) -> lane-dense kernel panels.
+
+    The j axis (q dim 2; k/v dim 1) may be zero-padded to a JBLK multiple
+    by the public entries — i/k stay at the true n, so bias/gate panels and
+    every lane dimension are unaffected."""
+    b, ni, nj, d, h = q.shape
+    qp = q.transpose(0, 2, 1, 3, 4).reshape(b, nj, ni, d * h)  # [b,j,i,(dh)]
+    kfl = k.transpose(0, 1, 3, 2, 4).reshape(b, nj, d, ni * h)  # [b,j,d,(kh)]
+    vp = v.reshape(b, nj, ni, d * h)                           # [b,j,k,(dh)]
+    biasp = bias.reshape(b, ni, ni * h)                        # [b,i,(kh)]
+    gatep = gate.reshape(b, ni, ni * h) if gate is not None else None
     return qp, kfl, vp, biasp, gatep
 
 
@@ -262,16 +270,16 @@ def _dense_core_fwd(q, k, v, bias, gate, gated, interpret):
 
 def _dense_core_bwd(gated, interpret, res, dva):
     q, k, v, bias, gate = res
-    b, n, _, d, h = q.shape
+    b, n, nj, d, h = q.shape
     qp, kfl, vp, biasp, gatep = _pack(q, k, v, bias, gate)
-    kp = k.reshape(b, n, n, d * h)                            # [b,j,k,(dh)]
-    vfl = v.transpose(0, 1, 3, 2, 4).reshape(b, n, d, n * h)  # [b,j,d,(kh)]
+    kp = k.reshape(b, nj, n, d * h)                            # [b,j,k,(dh)]
+    vfl = v.transpose(0, 1, 3, 2, 4).reshape(b, nj, d, n * h)  # [b,j,d,(kh)]
     kh = n * h
     blk, kfl_blk, bias_blk = _specs(n, d, d * h, kh)
     gate_in = gatep if gated else biasp
     dqp, dkp, dvp, dbias, dgate = pl.pallas_call(
         functools.partial(_bwd_kernel, h=h, gated=gated),
-        grid=(b, n // JBLK),
+        grid=(b, nj // JBLK),
         in_specs=[blk, kfl_blk, blk, blk, kfl_blk, bias_blk, bias_blk, blk],
         out_specs=[blk, blk, blk, bias_blk, bias_blk],
         out_shape=[
@@ -286,10 +294,10 @@ def _dense_core_bwd(gated, interpret, res, dva):
         interpret=interpret,
     )(qp, kfl, vp, kp, vfl, biasp, gate_in, dva)
 
-    # unpack to the (b,n,n,d,h) primal layouts
-    dq = dqp.reshape(b, n, n, d, h).transpose(0, 2, 1, 3, 4)
-    dk = dkp.reshape(b, n, n, d, h)
-    dv = dvp.reshape(b, n, n, d, h)
+    # unpack to the (possibly j-padded) primal layouts
+    dq = dqp.reshape(b, nj, n, d, h).transpose(0, 2, 1, 3, 4)
+    dk = dkp.reshape(b, nj, n, d, h)
+    dv = dvp.reshape(b, nj, n, d, h)
     dbias = dbias.reshape(b, n, n, h).astype(bias.dtype)
     dgate = (dgate.reshape(b, n, n, h).astype(gate.dtype) if gated else None)
     return dq, dk, dv, dbias, dgate
@@ -349,12 +357,12 @@ def _agg_core(ap, v, interpret):
 
 
 def _agg_core_fwd(ap, v, interpret):
-    b, n, _, d, h = v.shape
-    vp = v.reshape(b, n, n, d * h)
+    b, nj, n, d, h = v.shape  # j (dim 1) may be padded to a JBLK multiple
+    vp = v.reshape(b, nj, n, d * h)
     blk, _, bias_blk = _specs(n, d, d * h, n * h)
     va = pl.pallas_call(
         functools.partial(_agg_fwd_kernel, h=h),
-        grid=(b, n // JBLK),
+        grid=(b, nj // JBLK),
         in_specs=[bias_blk, blk],
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct(vp.shape, vp.dtype),
@@ -367,23 +375,23 @@ def _agg_core_fwd(ap, v, interpret):
 
 def _agg_core_bwd(interpret, res, dva):
     ap, v = res
-    b, n, _, d, h = v.shape
-    vfl = v.transpose(0, 1, 3, 2, 4).reshape(b, n, d, n * h)
+    b, nj, n, d, h = v.shape
+    vfl = v.transpose(0, 1, 3, 2, 4).reshape(b, nj, d, n * h)
     blk, kfl_blk, bias_blk = _specs(n, d, d * h, n * h)
     da, dvp = pl.pallas_call(
         functools.partial(_agg_bwd_kernel, h=h),
-        grid=(b, n // JBLK),
+        grid=(b, nj // JBLK),
         in_specs=[bias_blk, kfl_blk, blk],
         out_specs=[bias_blk, blk],
         out_shape=[
             jax.ShapeDtypeStruct(ap.shape, jnp.float32),
-            jax.ShapeDtypeStruct((b, n, n, d * h), v.dtype),
+            jax.ShapeDtypeStruct((b, nj, n, d * h), v.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(ap, vfl, dva)
-    return da.astype(ap.dtype), dvp.reshape(b, n, n, d, h)
+    return da.astype(ap.dtype), dvp.reshape(b, nj, n, d, h)
 
 
 _agg_core.defvjp(_agg_core_fwd, _agg_core_bwd)
@@ -407,10 +415,9 @@ def triplet_aggregate_dense(p, e, mask, *, num_heads: int, gated: bool = True,
     h = num_heads
     if not dense_supported(n, w, h):
         raise ValueError(
-            f"dense kernel needs N*H and d*H multiples of 128 and "
-            f"N % {JBLK} == 0; got N={n}, edge_width={w}, H={h} — the grid "
-            f"would silently skip trailing j-blocks. Use the jnp path "
-            f"(ops/triplet) for this geometry.")
+            f"dense kernel needs 128-dense lanes: N*H and d*H must be "
+            f"multiples of 128; got N={n}, edge_width={w}, H={h}. Use the "
+            f"jnp path (ops/triplet) for this geometry.")
     interpret = _resolve_interpret(interpret)
     d = w // h
     e_ln = layernorm(p["tri_ln_e"], e)
@@ -443,7 +450,11 @@ def triplet_aggregate_dense(p, e, mask, *, num_heads: int, gated: bool = True,
                               (0, 2, 3, 1))
         core = _maybe_shard_map(
             lambda a_, v_: _agg_core(a_, v_, interpret), 2)
-        va = core(a.reshape(b, n, n * h), v.reshape(b, n, n, d, h))
+        njp = _jpad(n)
+        vj = v.reshape(b, n, n, d, h)
+        if njp != n:  # pad the j grid axis only (exact, see dense_supported)
+            vj = jnp.pad(vj, ((0, 0), (0, njp - n), (0, 0), (0, 0), (0, 0)))
+        va = core(a.reshape(b, n, n * h), vj)[:, :n]
         va = va.reshape(b, n, n, d, h)
         return jnp.einsum("bjidh,dhw->bjiw", va, w_dir)
 
@@ -465,10 +476,19 @@ def _resolve_interpret(interpret):
     return interpret
 
 
+def _jpad(n: int) -> int:
+    """j-axis length rounded up to the JBLK grid multiple."""
+    return -(-n // JBLK) * JBLK
+
+
 def dense_supported(n: int, edge_width: int, num_heads: int) -> bool:
+    """Lane-density requirement only: the (k*H) and (d*H) lane dims must be
+    128-dense. The j grid axis is zero-padded to a JBLK multiple by the
+    public entries (exact: padded-j rows receive zero cotangents, so every
+    cross-j accumulation — dbias/dgate/da — gets a zero contribution), so
+    n % JBLK is NOT required. All production buckets (24..56, h=16) pass."""
     d = edge_width // num_heads
-    return (n * num_heads) % 128 == 0 and (d * num_heads) % 128 == 0 \
-        and n % JBLK == 0
+    return (n * num_heads) % 128 == 0 and (d * num_heads) % 128 == 0
 
 
 def triplet_attention_dense(p, e, mask, *, num_heads: int, gated: bool = True,
@@ -486,10 +506,9 @@ def triplet_attention_dense(p, e, mask, *, num_heads: int, gated: bool = True,
     h = num_heads
     if not dense_supported(n, w, h):
         raise ValueError(
-            f"dense kernel needs N*H and d*H multiples of 128 and "
-            f"N % {JBLK} == 0; got N={n}, edge_width={w}, H={h} — the grid "
-            f"would silently skip trailing j-blocks. Use the jnp path "
-            f"(ops/triplet) for this geometry.")
+            f"dense kernel needs 128-dense lanes: N*H and d*H must be "
+            f"multiples of 128; got N={n}, edge_width={w}, H={h}. Use the "
+            f"jnp path (ops/triplet) for this geometry.")
     interpret = _resolve_interpret(interpret)
     d = w // h
     scale = d ** -0.5
@@ -517,10 +536,18 @@ def triplet_attention_dense(p, e, mask, *, num_heads: int, gated: bool = True,
             m = jnp.swapaxes(mask, 1, 2)
         bias = e_b + m
         gate = (g_b + m) if gated else None
+        njp = _jpad(n)
+        if njp != n:
+            # pad the j grid axis only (q dim 2; k/v dim 1) — exact, see
+            # dense_supported; bias/gate/lane dims stay at the true n
+            pj = (0, njp - n)
+            q = jnp.pad(q, ((0, 0), (0, 0), pj, (0, 0), (0, 0)))
+            k = jnp.pad(k, ((0, 0), pj, (0, 0), (0, 0), (0, 0)))
+            v = jnp.pad(v, ((0, 0), pj, (0, 0), (0, 0), (0, 0)))
         core = _maybe_shard_map(
             lambda q_, k_, v_, b_, g_: _dense_core(q_, k_, v_, b_, g_,
                                                    gated, interpret), 5)
-        va = core(q, k, v, bias, gate)
+        va = core(q, k, v, bias, gate)[:, :n]
         # va: (b, j, i, (d*H+h)) -> contract split lin_O -> (b, j, i, w)
         va = va.reshape(b, n, n, d, h)
         return jnp.einsum("bjidh,dhw->bjiw", va, w_dir)
