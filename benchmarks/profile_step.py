@@ -18,14 +18,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(small: bool, steps: int, logdir: str):
+def capture(small: bool, steps: int, logdir: str, dense: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
     import bench
 
     bench._enable_compile_cache()
-    step, params, opt_state, bsz, n, pool = bench.build(small)
+    step, params, opt_state, bsz, n, pool = bench.build(small, dense)
     rs = np.random.RandomState(1)
 
     def one(i, params, opt_state):
@@ -103,10 +103,12 @@ def main():
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--logdir", default="/tmp/tgt_profile")
     ap.add_argument("--parse-only", action="store_true")
+    ap.add_argument("--dense", action="store_true",
+                    help="profile the promoted lane-dense kernel config")
     args = ap.parse_args()
     if not args.parse_only:
         os.makedirs(args.logdir, exist_ok=True)
-        capture(args.small, args.steps, args.logdir)
+        capture(args.small, args.steps, args.logdir, args.dense)
     parse_trace(args.logdir, args.top, args.steps)
 
 

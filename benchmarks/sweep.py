@@ -12,7 +12,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def measure(b, n, triplet, reps=5, layers=24, triplet_type="attention", use_pallas=False, remat=True):
+def measure(b, n, triplet, reps=5, layers=24, triplet_type="attention", use_pallas=False, remat=True, remat_policy="none"):
     import jax
     import jax.numpy as jnp
     from tgt_tpu.models import TGTConfig, make_model
@@ -22,7 +22,9 @@ def measure(b, n, triplet, reps=5, layers=24, triplet_type="attention", use_pall
                     triplet_heads=16 if triplet else 0,
                     triplet_type=triplet_type, num_dist_bins=256,
                     use_pallas=use_pallas,
+                    dense_min_nodes=0,  # harness MEASURES the kernel at any n
                     compute_dtype="bfloat16", use_scan=True, remat=remat,
+                    remat_policy=remat_policy,
                     node_ended=False, edge_ended=True)
     init, apply = make_model("distance")
     params = init(jax.random.PRNGKey(0), cfg)
@@ -70,7 +72,7 @@ def measure(b, n, triplet, reps=5, layers=24, triplet_type="attention", use_pall
         times.append((time.time() - t0) / reps)
     dt = min(times)
     return {"b": b, "n": n, "triplet": triplet, "type": triplet_type,
-            "pallas": use_pallas, "remat": remat,
+            "pallas": use_pallas, "remat": remat, "remat_policy": remat_policy,
             "layers": layers, "step_ms": round(dt * 1000, 1),
             "graphs_per_s": round(b / dt, 1), "compile_s": round(compile_s)}
 
@@ -86,12 +88,15 @@ if __name__ == "__main__":
     ap.add_argument("--dense", action="store_true",
                     help="lane-dense Mosaic triplet kernel (use_pallas='dense')")
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--remat-policy", default="none",
+                    help="none|dots|tri_a|proj|tri_va (tri_va pairs with "
+                         "--dense: saves kernel residuals + output)")
     ap.add_argument("--out", default="/tmp/sweep_results.jsonl")
     args = ap.parse_args()
     r = measure(args.b, args.n, not args.no_triplet, layers=args.layers,
                 triplet_type=args.type,
                 use_pallas=("dense" if args.dense else args.pallas),
-                remat=not args.no_remat)
+                remat=not args.no_remat, remat_policy=args.remat_policy)
     print(json.dumps(r))
     with open(args.out, "a") as f:
         f.write(json.dumps(r) + "\n")

@@ -541,7 +541,8 @@ class TestModelIntegration:
 
     def test_full_model_with_dense_kernel_matches_jnp(self):
         """use_pallas='dense' through the encoder flag at a geometry the
-        dense kernel accepts (n*h = d*h = 128)."""
+        dense kernel accepts (n*h = d*h = 128); dense_min_nodes=0 forces
+        the kernel below the measured production crossover."""
         from tests.conftest import make_synthetic_batch
         from tgt_tpu.models import TGTConfig, make_model
         cfg = TGTConfig(node_width=32, edge_width=128, num_heads=4,
@@ -551,6 +552,32 @@ class TestModelIntegration:
         params = init(jax.random.PRNGKey(0), cfg)
         batch = make_synthetic_batch(jax.random.PRNGKey(0), b=2, n=16, seed=4)
         ref = apply(params, batch, cfg)
-        dense = apply(params, batch, cfg.replace(use_pallas="dense"))
+        dense = apply(params, batch, cfg.replace(use_pallas="dense",
+                                                 dense_min_nodes=0))
         np.testing.assert_allclose(np.asarray(dense), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+    def test_dense_min_nodes_gates_kernel_per_bucket(self, monkeypatch):
+        """Buckets below dense_min_nodes take the XLA path, buckets at or
+        above it take the kernel — the measured per-bucket crossover
+        (campaign_r4: kernel LOSES 0.8x at n=24/40, wins 1.22x at 48)."""
+        from tests.conftest import make_synthetic_batch
+        from tgt_tpu.models import TGTConfig, make_model
+        import tgt_tpu.ops.pallas.triplet_dense as td
+        calls = []
+        orig = td.triplet_attention_dense
+        monkeypatch.setattr(
+            td, "triplet_attention_dense",
+            lambda *a, **k: (calls.append(a[1].shape[1]), orig(*a, **k))[1])
+        cfg = TGTConfig(node_width=32, edge_width=128, num_heads=4,
+                        model_height=2, triplet_heads=8,
+                        triplet_type="attention", num_dist_bins=8,
+                        use_pallas="dense", dense_min_nodes=32)
+        init, apply = make_model("gap")
+        params = init(jax.random.PRNGKey(0), cfg)
+        below = make_synthetic_batch(jax.random.PRNGKey(0), b=1, n=16, seed=1)
+        apply(params, below, cfg)
+        assert calls == []            # n=16 < 32: XLA path
+        at = make_synthetic_batch(jax.random.PRNGKey(0), b=1, n=32, seed=1)
+        apply(params, at, cfg)
+        assert calls == [32]          # n=32 >= 32: kernel

@@ -99,11 +99,16 @@ def tgt_layer_apply(p: Dict[str, Any], g: Graph, cfg: TGTConfig,
         e = e + dp(r[4], e_up)
         if cfg.triplet_enabled:
             tri_kwargs = {}
+            # the dense kernel only wins from ~48-node buckets up (measured
+            # crossover — see TGTConfig.dense_min_nodes); the bucket size is
+            # static per compiled shape, so each bucket picks its winner
+            dense_ok = e.shape[1] >= cfg.dense_min_nodes
             if cfg.use_pallas and cfg.triplet_type in ("attention",
                                                        "attention_ungated"):
-                tri_kwargs["use_pallas"] = cfg.use_pallas
-            elif cfg.use_pallas == "dense" and cfg.triplet_type in (
-                    "aggregate", "aggregate_ungated"):
+                if cfg.use_pallas != "dense" or dense_ok:
+                    tri_kwargs["use_pallas"] = cfg.use_pallas
+            elif cfg.use_pallas == "dense" and dense_ok and \
+                    cfg.triplet_type in ("aggregate", "aggregate_ungated"):
                 tri_kwargs["use_pallas"] = "dense"
             tri = get_triplet_apply(cfg.triplet_type)(
                 p["tria"], e, mask, num_heads=cfg.triplet_heads,
@@ -161,6 +166,14 @@ def _remat_policy(cfg: TGTConfig):
         # skips the QKV+EG matmuls and layernorm but recomputes the N^3
         # softmax chain (storing N^3 loses: CLAUDE.md measured baselines)
         return jax.checkpoint_policies.save_only_these_names("tri_proj")
+    if cfg.remat_policy == "tri_va":
+        # dense-kernel companion policy: save the kernel's N^2 output AND
+        # its N^2 residual inputs — the remat recompute then prunes both
+        # the projections and the kernel forward, and the custom-VJP bwd
+        # reads its residuals from the saved panels. Only meaningful with
+        # use_pallas='dense' (on the jnp path it degenerates to 'proj').
+        return jax.checkpoint_policies.save_only_these_names(
+            "tri_va", "tri_proj")
     raise ValueError(f"unknown remat_policy {cfg.remat_policy!r}")
 
 

@@ -71,6 +71,13 @@ class TGTConfig:
     # N^3 HBM traffic (ops/pallas/triplet_dense.py; requires N*H and d*H
     # multiples of 128, falls back to jnp otherwise)
     use_pallas: object = False
+    # Bucket-size floor for the dense kernel: buckets below this run the
+    # XLA path even when use_pallas='dense'. MEASURED crossover (v5e, b=8,
+    # 24 layers, benchmarks/campaign_r4 sweep_{base,dense}_n*): the kernel
+    # wins 1.22x at n=48, is a wash at 32/56, and LOSES 0.8x at the
+    # j-padded 24/40 — the N^3 HBM traffic it eliminates only dominates
+    # from n~48 up. Static per compiled bucket.
+    dense_min_nodes: int = 48
 
     @property
     def triplet_enabled(self) -> bool:

@@ -536,6 +536,16 @@ def triplet_attention_dense(p, e, mask, *, num_heads: int, gated: bool = True,
             m = jnp.swapaxes(mask, 1, 2)
         bias = e_b + m
         gate = (g_b + m) if gated else None
+        # named for selective remat (cfg.remat_policy='tri_va'): saving
+        # these N^2 panels + the kernel output lets the backward pass feed
+        # the custom-VJP residuals directly and prune BOTH the projections
+        # and the kernel forward from the remat recompute
+        from jax.ad_checkpoint import checkpoint_name
+        q = checkpoint_name(q, "tri_proj")
+        k = checkpoint_name(k, "tri_proj")
+        v = checkpoint_name(v, "tri_proj")
+        bias = checkpoint_name(bias, "tri_proj")
+        gate = checkpoint_name(gate, "tri_proj") if gated else None
         njp = _jpad(n)
         if njp != n:
             # pad the j grid axis only (q dim 2; k/v dim 1) — exact, see
@@ -547,7 +557,7 @@ def triplet_attention_dense(p, e, mask, *, num_heads: int, gated: bool = True,
         core = _maybe_shard_map(
             lambda q_, k_, v_, b_, g_: _dense_core(q_, k_, v_, b_, g_,
                                                    gated, interpret), 5)
-        va = core(q, k, v, bias, gate)[:, :n]
+        va = checkpoint_name(core(q, k, v, bias, gate)[:, :n], "tri_va")
         # va: (b, j, i, (d*H+h)) -> contract split lin_O -> (b, j, i, w)
         va = va.reshape(b, n, n, d, h)
         return jnp.einsum("bjidh,dhw->bjiw", va, w_dir)

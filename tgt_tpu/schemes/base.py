@@ -115,6 +115,9 @@ def default_scheme_config() -> Config:
         compilation_cache_dir=None,
         use_scan=True,
         use_pallas=False,
+        # dense-kernel bucket floor (buckets below run XLA); 48 = measured
+        # crossover on v5e — see TGTConfig.dense_min_nodes
+        dense_min_nodes=48,
         # MC-draw schedule for stochastic evaluation (mc_sample): 'map' =
         # sequential lax.scan (lowest memory, the default), 'vmap' = all
         # draws batched into one program — faster on TPU when the per-draw
@@ -249,7 +252,8 @@ class TGTScheme:
             num_dist_bins=getattr(c, "num_dist_bins", 256),
             compute_dtype=c.compute_dtype, remat=c.remat,
             remat_policy=getattr(c, "remat_policy", "none") or "none",
-            use_scan=c.use_scan, use_pallas=c.use_pallas)
+            use_scan=c.use_scan, use_pallas=c.use_pallas,
+            dense_min_nodes=getattr(c, "dense_min_nodes", 48))
 
     # -- model ------------------------------------------------------------
     def init_params(self, rng: jax.Array):
