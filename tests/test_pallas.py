@@ -1,6 +1,7 @@
 """Pallas kernel tests (interpret mode on CPU; real lowering covered by the
 TPU bench runs)."""
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -94,12 +95,22 @@ class TestTripletAttentionKernel:
 
     def test_dropout_falls_back_to_jnp(self, inputs):
         """attention_dropout>0 in training uses the jnp path (well-defined
-        dropout semantics); check it doesn't crash with use_pallas set."""
+        dropout semantics); check it doesn't crash with use_pallas set AND
+        that the silent-fallback warning fires (once)."""
+        import tgt_tpu.ops.triplet as tri_mod
         p, _, e, mask, h = inputs
-        out = triplet_attention(p, e, mask, num_heads=h, use_pallas=True,
-                                attention_dropout=0.5, deterministic=False,
-                                rng=jax.random.PRNGKey(0))
+        tri_mod._pallas_fallback_warned.clear()
+        with pytest.warns(RuntimeWarning, match="attention_dropout"):
+            out = triplet_attention(p, e, mask, num_heads=h, use_pallas=True,
+                                    attention_dropout=0.5, deterministic=False,
+                                    rng=jax.random.PRNGKey(0))
         assert np.all(np.isfinite(np.asarray(out)))
+        # second call with the same reason stays silent (one-time warning)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            triplet_attention(p, e, mask, num_heads=h, use_pallas=True,
+                              attention_dropout=0.5, deterministic=False,
+                              rng=jax.random.PRNGKey(0))
 
 
 class TestTripletDenseKernel:
@@ -348,10 +359,15 @@ class TestTripletDenseKernel:
                                    rtol=1e-5, atol=1e-5)
 
     def test_unsupported_geometry_falls_back(self, inputs):
-        """n=12 violates the density contract -> jnp path, same numbers."""
+        """n=12 violates the density contract -> jnp path, same numbers,
+        and the silent-fallback warning fires."""
+        import tgt_tpu.ops.triplet as tri_mod
         p, _, e, mask, h = inputs
         ref = triplet_attention(p, e, mask, num_heads=h)
-        got = triplet_attention(p, e, mask, num_heads=h, use_pallas="dense")
+        tri_mod._pallas_fallback_warned.clear()
+        with pytest.warns(RuntimeWarning, match="lane-dense"):
+            got = triplet_attention(p, e, mask, num_heads=h,
+                                    use_pallas="dense")
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 

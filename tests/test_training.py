@@ -220,6 +220,32 @@ class TestHarness:
         trainer.fit(num_epochs=1)
         assert os.path.exists(os.path.join(trainer.ckpt.best_dir, "model.npz"))
 
+    def test_corrupted_history_quarantined(self, tmp_path):
+        """An unparseable history.yaml from a killed run is renamed to
+        .corrupted on resume and training continues with a fresh file
+        (reference training.py:570-582)."""
+        scheme, trainer = make_trainer(PretrainScheme, tmp_path, "hist")
+        os.makedirs(trainer.log_path, exist_ok=True)
+        hist = os.path.join(trainer.log_path, "history.yaml")
+        with open(hist, "w") as f:
+            f.write("- {loss: 1.0\n  truncated mid-write [")
+        trainer.fit(num_epochs=1)
+        assert os.path.exists(hist + ".corrupted")
+        import yaml
+        with open(hist) as f:
+            parsed = yaml.safe_load(f)
+        assert isinstance(parsed, list) and len(parsed) >= 1
+
+    def test_valid_history_left_alone(self, tmp_path):
+        scheme, trainer = make_trainer(PretrainScheme, tmp_path, "hist2")
+        os.makedirs(trainer.log_path, exist_ok=True)
+        hist = os.path.join(trainer.log_path, "history.yaml")
+        with open(hist, "w") as f:
+            f.write("- {loss: 1.0, epoch: 0}\n")
+        trainer._quarantine_corrupted_history()
+        assert not os.path.exists(hist + ".corrupted")
+        assert os.path.exists(hist)
+
     def test_nan_step_guard_keeps_params(self, tmp_path):
         """A non-finite loss step must not update params."""
         import jax.numpy as jnp
@@ -441,6 +467,51 @@ class TestGradAccumulation:
                         jax.tree.leaves(new2["params"])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-2, atol=2e-4)
+
+    def test_global_batch_size_derives_accum(self, tmp_path):
+        """global_batch_size resolves grad_accum_steps against the topology
+        (published-recipe reproduction: dist_pred 1024 / pretrain 2048)."""
+        _, tr = make_trainer(PretrainScheme, tmp_path, "gb1", batch_size=4,
+                             global_batch_size=16)
+        assert tr.grad_accum == 4
+        result = tr.fit(num_epochs=1)
+        assert np.isfinite(result["history"][-1]["loss"])
+
+    def test_global_batch_size_world_size_aware(self, tmp_path):
+        scheme = PretrainScheme({**TINY, "batch_size": 4,
+                                 "global_batch_size": 16,
+                                 "save_path_prefix": str(tmp_path),
+                                 "model_name": "gb2"})
+        tr = Trainer(scheme, rank=0, world_size=2)
+        assert tr.grad_accum == 2  # 16 / (4 * 2)
+
+    def test_global_batch_size_conflicts_fail_loud(self, tmp_path):
+        with pytest.raises(ValueError, match="not a multiple"):
+            make_trainer(PretrainScheme, tmp_path, "gb3", batch_size=5,
+                         global_batch_size=16)
+        with pytest.raises(ValueError, match="contradicts"):
+            make_trainer(PretrainScheme, tmp_path, "gb4", batch_size=4,
+                         global_batch_size=16, grad_accum_steps=2)
+        # consistent explicit value is accepted
+        _, tr = make_trainer(PretrainScheme, tmp_path, "gb5", batch_size=4,
+                             global_batch_size=16, grad_accum_steps=4)
+        assert tr.grad_accum == 4
+
+    def test_published_configs_carry_global_batch(self):
+        """Every published train-stage config reproduces the published
+        global batch (BASELINE.md: dist_pred 1024, pretrain/finetune 2048)."""
+        import glob
+
+        from tgt_tpu.core.config import load_yaml
+        for path in glob.glob("configs/pcqm/tgt_*/*/*.yaml"):
+            cfg = load_yaml(path)
+            stage = path.split("/")[-2]
+            if stage == "dist_pred":
+                assert cfg.get("global_batch_size") == 1024, path
+            elif stage in ("pretrain", "finetune"):
+                assert cfg.get("global_batch_size") == 2048, path
+            else:  # gap_pred only trims/evaluates — no training budget
+                assert "global_batch_size" not in cfg, path
 
     def test_accum_trains(self, tmp_path):
         scheme, trainer = make_trainer(PretrainScheme, tmp_path, "ga3",

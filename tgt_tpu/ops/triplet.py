@@ -25,6 +25,7 @@ memory-bound regimes since it avoids materializing the (b,N,N,N,h) logits).
 """
 from __future__ import annotations
 
+import warnings
 from typing import Callable, Dict, Optional
 
 import jax
@@ -33,6 +34,23 @@ from jax.ad_checkpoint import checkpoint_name
 
 from tgt_tpu.ops.common import (Params, dropout, layernorm, layernorm_init,
                                 linear, linear_init, siglin)
+
+# One-time (per distinct reason) warning when a requested Pallas kernel
+# silently falls back to the jnp path — a user tweaking triplet dropout on
+# the promoted `use_pallas: dense` configs would otherwise lose the measured
+# 1.22x with no signal. Fires at trace time, once per reason string.
+_pallas_fallback_warned: set = set()
+
+
+def _warn_pallas_fallback(reason: str) -> None:
+    if reason in _pallas_fallback_warned:
+        return
+    _pallas_fallback_warned.add(reason)
+    warnings.warn(
+        f"use_pallas requested but the triplet kernel fell back to the jnp "
+        f"path: {reason}. The measured dense-kernel speedup (~1.22x at "
+        f"flagship shapes) does not apply to this program.",
+        RuntimeWarning, stacklevel=3)
 
 
 # NOTE on the SPLIT lin_O used throughout this module: lin_O's stored weight
@@ -74,6 +92,10 @@ def _aggregate_dense_or_none(p, e, mask, *, num_heads, gated,
     from tgt_tpu.ops.pallas.triplet_dense import (dense_supported,
                                                   triplet_aggregate_dense)
     if not dense_supported(e.shape[1], e.shape[-1], num_heads):
+        _warn_pallas_fallback(
+            f"aggregate geometry N={e.shape[1]}, W={e.shape[-1]}, "
+            f"H={num_heads} is not 128-lane-dense (needs N*H % 128 == 0 "
+            f"and (W/H)*H % 128 == 0)")
         return None
     return triplet_aggregate_dense(p, e, mask, num_heads=num_heads,
                                    gated=gated,
@@ -257,11 +279,22 @@ def _triplet_attention_impl(p, e, mask, *, num_heads, gated, attention_dropout,
                                                num_heads=num_heads,
                                                gated=gated)
             # unsupported geometry: fall through to the jnp path
+            _warn_pallas_fallback(
+                f"geometry N={e.shape[1]}, W={e.shape[-1]}, H={num_heads} "
+                f"is not 128-lane-dense (needs N*H % 128 == 0 and "
+                f"(W/H)*H % 128 == 0)")
         else:
             from tgt_tpu.ops.pallas.triplet_attention import (
                 triplet_attention_fused)
             return triplet_attention_fused(p, e, mask, num_heads=num_heads,
                                            gated=gated)
+    elif use_pallas:
+        # kernel requested but attention_dropout > 0 in training mode — the
+        # fused kernels don't implement in-kernel dropout
+        _warn_pallas_fallback(
+            f"triplet attention_dropout={attention_dropout} > 0 in training "
+            f"mode (the fused kernels run without in-kernel dropout; set "
+            f"triplet_dropout: 0 to keep the kernel)")
     b, n, _, w = e.shape
     d = w // num_heads
     scale = d ** -0.5

@@ -182,21 +182,86 @@ class _BasePredictor:
     def _feed_of(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         raise NotImplementedError
 
-    def warmup(self) -> None:
+    def _warmup_one(self, nb: int) -> None:
+        """Compile the (bucket=nb x batch_size) program via one dummy predict."""
+        mol = {
+            "num_nodes": nb,
+            "edges": np.zeros((0, 2), np.int64),
+            "node_features": np.ones((nb, 9), np.int64),
+            "edge_features": np.zeros((0, 3), np.int64),
+        }
+        if self.cfg.embed_3d_type != "none":
+            mol["dist_input"] = np.zeros((nb, nb), np.float32)
+        self.predict([mol])
+
+    @staticmethod
+    def _relay_ready() -> bool:
+        """True when the TPU relay (if one is in use) accepts connections.
+        On non-tunneled backends (CPU tests, direct TPU) trivially true."""
+        if jax.default_backend() != "axon":
+            return True
+        import socket
+        for port in (8082, 8083):
+            try:
+                with socket.create_connection(("127.0.0.1", port), timeout=5):
+                    pass
+            except OSError:
+                return False
+        return True
+
+    def warmup(self, per_bucket_timeout: Optional[float] = 900.0,
+               retries: int = 2) -> None:
         """Pre-compile every (bucket x batch_size) feed shape so the first
         real request pays no compile latency (the serving analog of the
         trainer's precompile_buckets / the reference's allocate_max_batch,
-        tgt_training.py:118-135)."""
+        tgt_training.py:118-135).
+
+        Production-hardened against tunnel wedges (observed 2026-08-18: a
+        fresh gated-program compile through the relay hung at 0% CPU twice,
+        then succeeded unchanged): each bucket compiles under a per-bucket
+        timeout with probe-gated retries — before re-dispatching, wait for
+        the relay ports to accept again. The persistent compilation cache
+        (enabled in __init__) means a retry after a slow-but-successful
+        compile is a cache hit. Exhausted retries raise instead of hanging
+        the serving process forever. `per_bucket_timeout=None` disables the
+        watchdog (legacy behavior)."""
+        import threading
+        import time as _time
+
         for nb in self.buckets:
-            mol = {
-                "num_nodes": nb,
-                "edges": np.zeros((0, 2), np.int64),
-                "node_features": np.ones((nb, 9), np.int64),
-                "edge_features": np.zeros((0, 3), np.int64),
-            }
-            if self.cfg.embed_3d_type != "none":
-                mol["dist_input"] = np.zeros((nb, nb), np.float32)
-            self.predict([mol])
+            last_exc: Optional[BaseException] = None
+            for attempt in range(retries + 1):
+                box: Dict = {}
+
+                def run():
+                    try:
+                        self._warmup_one(nb)
+                        box["ok"] = True
+                    except BaseException as exc:  # surfaced on the caller
+                        box["exc"] = exc
+
+                t = threading.Thread(target=run, daemon=True,
+                                     name=f"tgt-warmup-n{nb}")
+                t.start()
+                t.join(per_bucket_timeout)
+                if box.get("ok"):
+                    break
+                if "exc" in box:
+                    last_exc = box["exc"]
+                else:
+                    last_exc = TimeoutError(
+                        f"bucket {nb} warmup compile still running after "
+                        f"{per_bucket_timeout}s (attempt {attempt + 1}) — "
+                        f"likely a wedged tunnel compile")
+                if attempt < retries:
+                    # probe-gated retry: don't re-dispatch into a dead relay
+                    deadline = _time.time() + 120
+                    while not self._relay_ready() and _time.time() < deadline:
+                        _time.sleep(10)
+            else:
+                raise RuntimeError(
+                    f"serving warmup failed for bucket {nb} after "
+                    f"{retries + 1} attempts") from last_exc
 
     def predict(self, molecules: List[Dict]) -> np.ndarray:
         """Predict for a molecule batch of arbitrary size.

@@ -204,8 +204,35 @@ class Trainer:
         self.monitor_best = float("inf")
         self.monitor_best_epoch = -1
 
+        # grad-accum factor, resolved ONCE against the topology: an explicit
+        # grad_accum_steps, or derived from global_batch_size so published
+        # recipes (dist_pred 1024, pretrain/finetune 2048 — BASELINE.md)
+        # execute the same effective batch on any world size
+        self.grad_accum = self._resolve_grad_accum()
+
         self._train_step = None  # built lazily (jit)
         self._eval_step = None
+
+    def _resolve_grad_accum(self) -> int:
+        explicit = max(1, int(getattr(self.cfg, "grad_accum_steps", 1) or 1))
+        gbs = getattr(self.cfg, "global_batch_size", None)
+        if not gbs:
+            return explicit
+        gbs = int(gbs)
+        per_pass = int(self.cfg.batch_size) * max(1, self.world_size)
+        if gbs % per_pass != 0:
+            raise ValueError(
+                f"global_batch_size={gbs} is not a multiple of "
+                f"batch_size*world_size = {self.cfg.batch_size}*"
+                f"{self.world_size} = {per_pass}")
+        derived = max(1, gbs // per_pass)
+        if explicit != 1 and explicit != derived:
+            raise ValueError(
+                f"grad_accum_steps={explicit} contradicts "
+                f"global_batch_size={gbs} (which derives accum={derived} at "
+                f"batch_size={self.cfg.batch_size}, "
+                f"world_size={self.world_size}); set only one")
+        return derived
 
     # ------------------------------------------------------------------
     # mesh / sharding helpers
@@ -245,7 +272,7 @@ class Trainer:
         # shard_map rejects it at trace, and GSPMD would shard it
         # degenerately). nd*accum also keeps accumulated_grad's accum-
         # divisibility check satisfied.
-        accum = max(1, int(getattr(self.cfg, "grad_accum_steps", 1) or 1))
+        accum = self.grad_accum
         quantum = nd * accum
         lead = [np.shape(v)[0] for v in device_batch.values()
                 if np.ndim(v) >= 1]
@@ -360,7 +387,7 @@ class Trainer:
         scheme = self.scheme
         opt_update = self.opt_update
         schedule = self.schedule
-        accum = int(getattr(self.cfg, "grad_accum_steps", 1) or 1)
+        accum = self.grad_accum
 
         def grad_of(params, batch, rng):
             return jax.value_and_grad(
@@ -647,6 +674,7 @@ class Trainer:
 
         if self.is_main:
             os.makedirs(self.log_path, exist_ok=True)
+            self._quarantine_corrupted_history()
             self.save_config()
             from tgt_tpu.utils.profiling import model_summary
             model_summary(state["params"],
@@ -760,6 +788,25 @@ class Trainer:
             counters["plateau"] = self.plateau.state_dict()
         self.ckpt.save(state["params"], state["opt_state"], counters,
                        epoch=self.epoch)
+
+    def _quarantine_corrupted_history(self) -> None:
+        """On resume, rename an unparseable history.yaml to `.corrupted` and
+        continue with a fresh file (reference training.py:570-582) — a
+        history truncated by a killed run would otherwise be carried forward
+        as a permanently broken YAML document."""
+        path = os.path.join(self.log_path, "history.yaml")
+        if not os.path.exists(path):
+            return
+        try:
+            with open(path) as f:
+                parsed = yaml.safe_load(f)
+            if parsed is None or isinstance(parsed, list):
+                return
+        except yaml.YAMLError:
+            pass
+        corrupted = path + ".corrupted"
+        os.replace(path, corrupted)
+        print(f"WARNING: corrupted history file moved to {corrupted}")
 
     def append_history(self, logs: Dict) -> None:
         path = os.path.join(self.log_path, "history.yaml")
