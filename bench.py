@@ -101,7 +101,7 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def build(small: bool, dense: bool = False):
+def build(small: bool, dense: bool = False, agx2: bool = False):
     import jax
     import jax.numpy as jnp
     from tgt_tpu.models import TGTConfig, make_model
@@ -109,7 +109,22 @@ def build(small: bool, dense: bool = False):
     from tgt_tpu.training.harness import make_optimizer
     from types import SimpleNamespace
 
-    if small:
+    if agx2:
+        # TGT-Agx2 47M-per-stage (configs/pcqm/tgt_agx2_100m/dist_pred/*.yaml;
+        # reference encoder.py:80-84 layer_multiplier): 12 layers applied
+        # twice each with shared weights, aggregate triplet. The dense
+        # aggregate kernel was DEMOTED at round-4 adjudication (core 0.82x,
+        # step 83.9 vs 71.1 ms) — the jnp native-dot-order path is the
+        # production path for this model.
+        cfg = TGTConfig(node_width=768, edge_width=256, num_heads=64,
+                        model_height=12, layer_multiplier=2, triplet_heads=16,
+                        triplet_type="aggregate", num_dist_bins=256,
+                        source_dropout=0.3, drop_path=0.1,
+                        node_act_dropout=0.1, edge_act_dropout=0.1,
+                        compute_dtype="bfloat16", use_scan=True, remat=True,
+                        node_ended=False, edge_ended=True)
+        bsz, n = 8, 48
+    elif small:
         cfg = TGTConfig(node_width=128, edge_width=64, num_heads=16,
                         model_height=4, triplet_heads=8,
                         triplet_type="attention", num_dist_bins=256,
@@ -230,6 +245,10 @@ def main():
     ap.add_argument("--baseline", action="store_true",
                     help="disable the dense triplet kernel; measure the "
                          "pure-XLA path")
+    ap.add_argument("--agx2", action="store_true",
+                    help="bench the second published model: TGT-Agx2 (12x2 "
+                         "shared-weight layers, aggregate triplet) instead "
+                         "of the TGT-At flagship")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("TGT_BENCH_BUDGET", 1020)),
@@ -242,7 +261,10 @@ def main():
                  "config's geometry, d*H=64, is not dense-supported)")
     if args.baseline and args.dense:
         ap.error("--baseline and --dense are mutually exclusive")
-    dense = not args.small and not args.baseline
+    if args.agx2 and (args.small or args.dense):
+        ap.error("--agx2 is its own model config (and the dense aggregate "
+                 "kernel is demoted — measured 0.82x at round 4)")
+    dense = not args.small and not args.baseline and not args.agx2
     _arm_watchdog(max(30, int(args.budget)))
     _update("importing-jax")
 
@@ -327,8 +349,13 @@ def main():
         raise RuntimeError(f"TPU claim never released: {last_err}")
     _update("tpu-acquired", device=str(jax.devices()[0]))
 
-    step, params, opt_state, bsz, n, pool = build(args.small, dense)
+    step, params, opt_state, bsz, n, pool = build(args.small, dense,
+                                                  agx2=args.agx2)
     rs = np.random.RandomState(1)
+    # baseline of record per model: our round-1 measurements (the reference
+    # publishes no throughput numbers — BASELINE.md). At: 37.8 graphs/s;
+    # Agx2: 66.0 graphs/s (120 ms/step, CLAUDE.md round 1).
+    baseline_gps = None if args.small else (66.0 if args.agx2 else 37.8)
 
     def one(i):
         idx = jnp.asarray(rs.choice(pool, bsz, replace=False))
@@ -337,9 +364,14 @@ def main():
         rng = jax.random.fold_in(jax.random.key(7, impl='rbg'), i)
         return step(params, opt_state, idx, rng)
 
-    metric_name = ("graphs/sec/chip (TGT-At 102M train step, b=%d N=%d, bf16)"
-                   % (bsz, n) if not args.small else
-                   "graphs/sec/chip (small model, b=%d N=%d)" % (bsz, n))
+    if args.agx2:
+        metric_name = ("graphs/sec/chip (TGT-Agx2 47M train step, 12x2 "
+                       "shared layers, b=%d N=%d, bf16)" % (bsz, n))
+    elif args.small:
+        metric_name = "graphs/sec/chip (small model, b=%d N=%d)" % (bsz, n)
+    else:
+        metric_name = ("graphs/sec/chip (TGT-At 102M train step, "
+                       "b=%d N=%d, bf16)" % (bsz, n))
     _BEST["metric"] = metric_name
 
     def record_pass(dt_pass, stage):
@@ -348,8 +380,8 @@ def main():
         gps = args.steps * bsz / dt_pass
         if gps > _BEST["value"]:
             _BEST["value"] = round(gps, 3)
-            _BEST["vs_baseline"] = (round(gps / 37.8, 3)
-                                    if not args.small else None)
+            _BEST["vs_baseline"] = (round(gps / baseline_gps, 3)
+                                    if baseline_gps else None)
         _update(stage, unit="graphs/s")
 
     # warmup / compile
@@ -406,9 +438,10 @@ def main():
         "value": round(graphs_per_s, 3),
         "unit": "graphs/s",
         # the reference publishes no throughput numbers (BASELINE.md), so
-        # the baseline of record is our round-1 measurement: 37.8 graphs/s
-        "vs_baseline": (round(graphs_per_s / 37.8, 3)
-                        if not args.small else None),
+        # the baseline of record is our round-1 measurement per model
+        # (At 37.8, Agx2 66.0 graphs/s)
+        "vs_baseline": (round(graphs_per_s / baseline_gps, 3)
+                        if baseline_gps else None),
         "extra": {
             "cache_hit": compile_s < 60.0,
             "pair_entries_per_s": round(pair_entries_per_s, 1),

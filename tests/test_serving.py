@@ -321,14 +321,17 @@ class TestServingPipeline:
         def wedge_then_ok(self, nb):
             calls["n"] += 1
             if calls["n"] == 1:
-                _t.sleep(30)  # simulated wedge, far beyond the timeout
+                _t.sleep(60)  # simulated wedge, far beyond the timeout
             return real(self, nb)
 
         monkeypatch.setattr(type(pred), "_warmup_one", wedge_then_ok)
         t0 = _t.time()
-        pred.warmup(per_bucket_timeout=1.0, retries=2)
+        # timeout must be comfortably above a real (loaded-host) compile of
+        # the tiny model — a 1s timeout flaked under the full suite when the
+        # RETRY's genuine compile exceeded it — yet far below the wedge
+        pred.warmup(per_bucket_timeout=8.0, retries=2)
         assert calls["n"] >= 2          # first attempt abandoned, retried
-        assert _t.time() - t0 < 25      # did NOT wait out the wedge
+        assert _t.time() - t0 < 50      # did NOT wait out the wedge
 
     def test_warmup_exhausted_retries_raise(self, monkeypatch):
         """Persistent compile failure raises instead of hanging forever."""

@@ -566,16 +566,20 @@ class TestGradAccumulation:
 
     def test_uneven_batch_pads_to_lcm_of_mesh_and_accum(self, tmp_path):
         """An uneven final batch must pad to a size BOTH the data axis and
-        grad_accum_steps divide (host batch 6, accum 3, 8 data devices ->
-        pad to nd*accum=24; padding only to 8 would trip accumulated_grad's
-        divisibility check at trace time)."""
+        grad_accum_steps divide (micro-batch 6, accum 3 -> the loader asks
+        for optimizer batches of 18, but the 16-sample dataset yields an
+        uneven 16; with 8 data devices it must pad to nd*accum=24 — padding
+        only to 8 would trip accumulated_grad's divisibility check at
+        trace time)."""
         scheme, trainer = make_trainer(PretrainScheme, tmp_path, "ga4",
                                        batch_size=6, grad_accum_steps=3)
         assert trainer.mesh is not None
         batch = next(iter(scheme.train_loader(0, 0, 1)))
         db = scheme.device_batch(batch)
         lead = max(np.shape(v)[0] for v in db.values() if np.ndim(v) >= 1)
-        assert lead == 6
+        # train_loader sizes host batches at batch_size*accum = 18; the
+        # 16-sample synthetic dataset caps the (single) batch at 16
+        assert lead == 16
         sharded = trainer.shard_device_batch(db)
         for k, v in sharded.items():
             if np.ndim(v) >= 1 and np.shape(v)[0] >= 6:

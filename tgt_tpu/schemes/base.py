@@ -149,8 +149,15 @@ def default_scheme_config() -> Config:
         weight_decay=0.0,
         max_recovery_tries=10,
         # micro-batch gradient accumulation inside the jitted step (the
-        # reference has none); batch_size must divide evenly
+        # reference has none): batch_size stays the per-pass micro-batch
+        # and train_loader sizes host batches at batch_size * accum
         grad_accum_steps=1,
+        # published-recipe reproduction: when set, the Trainer derives
+        # grad_accum_steps = global_batch_size / (batch_size * world_size)
+        # so the SAME config executes the published global batch on any
+        # topology (1 chip accumulates 32x; a 32-host pod accumulates 1x).
+        # Mutually consistent with an explicit grad_accum_steps only.
+        global_batch_size=None,
         # accumulated-grad batches must carry sample_mask; True opts raw
         # feeds into the node_mask-derived micro-weight heuristic instead
         # of a trace-time error
@@ -319,15 +326,22 @@ class TGTScheme:
 
     def train_loader(self, epoch: int, rank: int, world_size: int):
         ds = self.get_dataset("train", rank, world_size)
+        # per-process OPTIMIZER batch: batch_size micro-batches x the
+        # accumulation factor (derived from global_batch_size when set, so
+        # published global batches reproduce on any topology — the Trainer
+        # resolves the same factor and splits the host batch back into
+        # batch_size-sized micro-passes inside the jitted step)
+        from tgt_tpu.training.harness import resolve_grad_accum
+        bsz = self.cfg.batch_size * resolve_grad_accum(self.cfg, world_size)
         sizes = getattr(ds, "sizes", None)
         if getattr(self.cfg, "size_bucketed_batching", False) and \
                 sizes is not None and len(sizes) == len(ds):
             from tgt_tpu.data.loader import SizeBucketedTrainSampler
             sampler = SizeBucketedTrainSampler(
-                sizes, self.cfg.batch_size, self.cfg.buckets, rank=rank,
+                sizes, bsz, self.cfg.buckets, rank=rank,
                 world_size=world_size, seed=self.cfg.random_seed or 0)
         else:
-            sampler = DistributedTrainSampler(len(ds), self.cfg.batch_size,
+            sampler = DistributedTrainSampler(len(ds), bsz,
                                               rank=rank, world_size=world_size,
                                               seed=self.cfg.random_seed or 0)
         sampler.set_epoch(epoch)

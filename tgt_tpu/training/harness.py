@@ -119,6 +119,40 @@ def make_optimizer(cfg, schedule) -> Tuple[Callable, Callable]:
     return init_fn, update_fn
 
 
+def resolve_grad_accum(cfg, world_size: int) -> int:
+    """Micro-batch accumulation factor for this topology.
+
+    Either the explicit ``grad_accum_steps``, or derived from
+    ``global_batch_size`` so the published training budgets (BASELINE.md:
+    dist_pred global batch 1024, pretrain/finetune 2048) reproduce on any
+    world size: the per-process OPTIMIZER batch is
+    ``batch_size * accum`` (the scheme's train_loader sizes its host
+    batches accordingly) and ``batch_size`` stays the per-pass micro-batch
+    that must fit in memory. One chip at batch_size 32 and
+    global_batch_size 1024 accumulates 32 micro-batches per step; a
+    32-process pod accumulates none.
+    """
+    explicit = max(1, int(getattr(cfg, "grad_accum_steps", 1) or 1))
+    gbs = getattr(cfg, "global_batch_size", None)
+    if not gbs:
+        return explicit
+    gbs = int(gbs)
+    per_pass = int(cfg.batch_size) * max(1, world_size)
+    if gbs % per_pass != 0:
+        raise ValueError(
+            f"global_batch_size={gbs} is not a multiple of "
+            f"batch_size*world_size = {cfg.batch_size}*{world_size} "
+            f"= {per_pass}")
+    derived = max(1, gbs // per_pass)
+    if explicit != 1 and explicit != derived:
+        raise ValueError(
+            f"grad_accum_steps={explicit} contradicts "
+            f"global_batch_size={gbs} (which derives accum={derived} at "
+            f"batch_size={cfg.batch_size}, world_size={world_size}); "
+            f"set only one")
+    return derived
+
+
 class Trainer:
     """Generic epoch/step loop around a scheme's pure functions."""
 
@@ -207,32 +241,13 @@ class Trainer:
         # grad-accum factor, resolved ONCE against the topology: an explicit
         # grad_accum_steps, or derived from global_batch_size so published
         # recipes (dist_pred 1024, pretrain/finetune 2048 — BASELINE.md)
-        # execute the same effective batch on any world size
-        self.grad_accum = self._resolve_grad_accum()
+        # execute the same effective batch on any world size. The scheme's
+        # train_loader uses the SAME resolution to size its host batches
+        # (optimizer batch = batch_size * accum per process).
+        self.grad_accum = resolve_grad_accum(self.cfg, self.world_size)
 
         self._train_step = None  # built lazily (jit)
         self._eval_step = None
-
-    def _resolve_grad_accum(self) -> int:
-        explicit = max(1, int(getattr(self.cfg, "grad_accum_steps", 1) or 1))
-        gbs = getattr(self.cfg, "global_batch_size", None)
-        if not gbs:
-            return explicit
-        gbs = int(gbs)
-        per_pass = int(self.cfg.batch_size) * max(1, self.world_size)
-        if gbs % per_pass != 0:
-            raise ValueError(
-                f"global_batch_size={gbs} is not a multiple of "
-                f"batch_size*world_size = {self.cfg.batch_size}*"
-                f"{self.world_size} = {per_pass}")
-        derived = max(1, gbs // per_pass)
-        if explicit != 1 and explicit != derived:
-            raise ValueError(
-                f"grad_accum_steps={explicit} contradicts "
-                f"global_batch_size={gbs} (which derives accum={derived} at "
-                f"batch_size={self.cfg.batch_size}, "
-                f"world_size={self.world_size}); set only one")
-        return derived
 
     # ------------------------------------------------------------------
     # mesh / sharding helpers
