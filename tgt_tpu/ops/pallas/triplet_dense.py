@@ -25,12 +25,14 @@ diagonal is affordable because the dense FLOPs are tiny (0.23 GMAC per
 layer-direction); what the kernel buys is the elimination of ~1.5 GB/layer
 of padded N^3 HBM traffic and relayout copies.
 
-Exact segment softmax: the max over k within each head's lane group uses
-circular `pltpu.roll` doubling in lane steps of H*2^t — rolls by multiples
-of H keep h fixed while circulating k, and max is idempotent so the
-overlapping windows converge to the exact per-(i,h) max in ceil(log2(N))
-steps. The denominator (not idempotent) is an MXU product with a constant
-(k*H+h, h) selector, broadcast back with a tile-like `pltpu.repeat`.
+Softmax stabilization (round-5): a per-ROW max over all (k,h) lanes — one
+lane-reduce. Softmax is invariant to any shift constant over its k
+reduction and a per-i constant qualifies, so this is exact in real
+arithmetic (the old per-(i,h) roll-doubling segmax, kept as `_seg_max` for
+the anatomy benchmark, cost ~12 VPU passes and was the largest single
+component in the round-5 kernel anatomy). The denominator (not idempotent)
+is an MXU product with a constant (k*H+h, h) selector, broadcast back with
+a tile-like `pltpu.repeat`.
 
 Semantics match ops/triplet._triplet_attention_impl (reference:
 lib/tgt/layers/triplet.py:205-250) without attention dropout (the published
@@ -124,16 +126,28 @@ def _dot_t(a, b, dtype):
         preferred_element_type=jnp.float32)
 
 
-def _attn_tile(qp, kfl, biasp, gatep, h, n, dtype):
+def _attn_tile(qp, kfl, biasp, g, h, n, dtype, qk_mask):
     """Shared forward math for one j: returns (p_exp, recip_denom, a).
 
-    p_exp: exp(s - segmax) (N, N*H) f32; recip: (N, H) f32; a: gated
-    UNNORMALIZED weights (N, N*H) f32."""
-    kbig = _brep(kfl, h) * _hmask(kfl.shape[0] * h, n * h, h, kfl.dtype)
+    p_exp: exp(s - rowmax) (N, N*H) f32; recip: (N, H) f32; a: gated
+    UNNORMALIZED weights (N, N*H) f32. `g` is the PRE-COMPUTED
+    sigmoid(gate) panel (hoisted out of the j loop — it is shared across
+    j) or None when ungated; `qk_mask` is the hoisted (d*H, N*H) h-block
+    selector.
+
+    Round-5 anatomy finding (benchmarks/kernel_anatomy.py): the softmax
+    chain was the largest kernel component (33% of fwd). Softmax is
+    invariant to any shift constant over the k reduction, and a per-ROW
+    max (over all (k,h) lanes) is such a constant — one lane-reduce
+    replaces the log2(n) roll-doubling passes of the old exact segmax.
+    Exact in real arithmetic; the only float hazard is exp underflow when
+    one head's logits sit ~80 below the row max across ALL k, which the
+    f32 denominator tolerates down to ~1e-38 before any precision loss."""
+    kbig = _brep(kfl, h) * qk_mask
     s = _dot(qp, kbig, dtype) + biasp
-    p = jnp.exp(s - _seg_max(s, h, n))
+    p = jnp.exp(s - jnp.max(s, axis=1, keepdims=True))
     recip = 1.0 / _dot(p, _sel(n * h, h, dtype), dtype)
-    a = p * jax.nn.sigmoid(gatep) if gatep is not None else p
+    a = p * g if g is not None else p
     return p, recip, a
 
 
@@ -143,12 +157,15 @@ def _fwd_kernel(qp_ref, kfl_ref, vp_ref, biasp_ref, gatep_ref, va_ref, *,
     dh = qp_ref.shape[3]
     dtype = qp_ref.dtype
     biasp = biasp_ref[0].astype(jnp.float32)
-    gatep = gatep_ref[0].astype(jnp.float32) if gated else None
+    # sigmoid(gate) hoisted: the gate panel is per-b, shared by every j of
+    # this grid step (round-5 anatomy: the per-j transcendental was ~7% fwd)
+    g = (jax.nn.sigmoid(gatep_ref[0].astype(jnp.float32)) if gated else None)
+    qk_mask = _hmask(dh, n * h, h, dtype)
     av_mask = _hmask(n * h, dh, h, dtype)
 
     def body(j, _):
-        _, recip, a = _attn_tile(qp_ref[0, j], kfl_ref[0, j], biasp, gatep,
-                                 h, n, dtype)
+        _, recip, a = _attn_tile(qp_ref[0, j], kfl_ref[0, j], biasp, g,
+                                 h, n, dtype, qk_mask)
         vbig = _brep(vp_ref[0, j], h) * av_mask
         va_u = _dot(a, vbig, dtype)
         va_ref[0, j] = (va_u * pltpu.repeat(recip, dh // h, axis=1)
@@ -166,11 +183,12 @@ def _bwd_kernel(qp_ref, kfl_ref, vp_ref, kp_ref, vfl_ref, biasp_ref,
     d = dh // h
     dtype = qp_ref.dtype
     biasp = biasp_ref[0].astype(jnp.float32)
-    gatep = gatep_ref[0].astype(jnp.float32) if gated else None
-    g = jax.nn.sigmoid(gatep) if gated else None
+    g = (jax.nn.sigmoid(gatep_ref[0].astype(jnp.float32)) if gated else None)
     qk_mask = _hmask(dh, n * h, h, dtype)
     av_mask = _hmask(n * h, dh, h, dtype)
     sel = _sel(n * h, h, jnp.float32)
+    # d sigmoid = g*(1-g): j-invariant like g itself, hoist out of the loop
+    g1mg = g * (1.0 - g) if gated else None
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -180,7 +198,8 @@ def _bwd_kernel(qp_ref, kfl_ref, vp_ref, kp_ref, vfl_ref, biasp_ref,
 
     def body(j, _):
         qp = qp_ref[0, j]
-        p, recip, _ = _attn_tile(qp, kfl_ref[0, j], biasp, gatep, h, n, dtype)
+        p, recip, _ = _attn_tile(qp, kfl_ref[0, j], biasp, g, h, n, dtype,
+                                 qk_mask)
         pn = p * pltpu.repeat(recip, n, axis=1)        # normalized probs
         a = pn * g if gated else pn
         dva = dva_ref[0, j].astype(jnp.float32)
@@ -189,7 +208,7 @@ def _bwd_kernel(qp_ref, kfl_ref, vp_ref, kp_ref, vfl_ref, biasp_ref,
         vtbig = _brep(vfl_ref[0, j], h) * qk_mask
         da = _dot(dva, vtbig, dtype)
         if gated:
-            dgate_ref[0] += (da * pn * g * (1.0 - g)).astype(dgate_ref.dtype)
+            dgate_ref[0] += (da * pn * g1mg).astype(dgate_ref.dtype)
             dp = da * g
         else:
             dp = da
