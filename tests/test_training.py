@@ -348,8 +348,21 @@ class TestConditionStrings:
         assert eval_condition("epoch > 2", {"epoch": 3})
         assert not eval_condition("epoch > 2 and loss < 1", {"epoch": 3,
                                                              "loss": 2.0})
+        # the reference grammar: modulo schedules, chained compares, not/or
+        assert eval_condition("epoch % 5 == 0 or epoch == 3", {"epoch": 3})
+        assert eval_condition("not (loss > 1)", {"loss": 0.5})
+        assert eval_condition("1 < epoch <= 3", {"epoch": 3})
+        assert eval_condition("epoch * 2 - 1 >= 5", {"epoch": 3})
+        # the AST interpreter rejects anything beyond bool/compare/arith:
+        # calls, attributes, subscripts, unknown names (no dunder surface)
         with pytest.raises(Exception):
             eval_condition("__import__('os')", {})
+        with pytest.raises(ValueError):
+            eval_condition("().__class__", {})
+        with pytest.raises(ValueError):
+            eval_condition("x[0] > 1", {"x": [2]})
+        with pytest.raises(NameError):
+            eval_condition("epoc > 2", {"epoch": 3})
 
     def test_validation_condition_skips_eval(self, tmp_path):
         scheme, trainer = make_trainer(PretrainScheme, tmp_path, "vc",

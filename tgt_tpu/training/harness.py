@@ -34,18 +34,73 @@ class StopTraining(Exception):
     pass
 
 
+_COND_OPS = {
+    "Eq": lambda a, b: a == b, "NotEq": lambda a, b: a != b,
+    "Lt": lambda a, b: a < b, "LtE": lambda a, b: a <= b,
+    "Gt": lambda a, b: a > b, "GtE": lambda a, b: a >= b,
+    "Add": lambda a, b: a + b, "Sub": lambda a, b: a - b,
+    "Mult": lambda a, b: a * b, "Div": lambda a, b: a / b,
+    "FloorDiv": lambda a, b: a // b, "Mod": lambda a, b: a % b,
+}
+
+
 def eval_condition(expr: Optional[str], context: Dict[str, Any]) -> bool:
     """Evaluate a config condition string like
     ``"epoch > 10 and epoch % 5 == 0"`` against log values.
 
     The reference eval()s these with full builtins (training.py:648-649,
-    training_mixins.py:67,102); here the namespace is restricted to the
-    context values. Note: this is hygiene, not a sandbox — condition strings
-    are trusted config input, same trust model as the reference's bare eval.
+    training_mixins.py:67,102). Here they go through a tiny AST interpreter
+    instead: boolean/comparison/arithmetic operators, names bound to the
+    context values, and literal constants — nothing else parses (no calls,
+    no attributes, no subscripts, no dunder reachability), so a config typo
+    fails loud and a malicious string has no surface at all.
     """
     if not expr:
         return True
-    return bool(eval(expr, {"__builtins__": {}}, dict(context)))
+    import ast
+
+    def ev(node):
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.BoolOp):
+            vals = (ev(v) for v in node.values)
+            return (all(map(bool, vals)) if isinstance(node.op, ast.And)
+                    else any(map(bool, vals)))
+        if isinstance(node, ast.UnaryOp):
+            if isinstance(node.op, ast.Not):
+                return not ev(node.operand)
+            if isinstance(node.op, ast.USub):
+                return -ev(node.operand)
+            raise ValueError(f"operator not allowed in condition: "
+                             f"{type(node.op).__name__}")
+        if isinstance(node, ast.Compare):
+            left = ev(node.left)
+            for op, rhs in zip(node.ops, node.comparators):
+                right = ev(rhs)
+                fn = _COND_OPS.get(type(op).__name__)
+                if fn is None:
+                    raise ValueError(f"comparison not allowed in condition: "
+                                     f"{type(op).__name__}")
+                if not fn(left, right):
+                    return False
+                left = right
+            return True
+        if isinstance(node, ast.BinOp):
+            fn = _COND_OPS.get(type(node.op).__name__)
+            if fn is None:
+                raise ValueError(f"operator not allowed in condition: "
+                                 f"{type(node.op).__name__}")
+            return fn(ev(node.left), ev(node.right))
+        if isinstance(node, ast.Name):
+            if node.id not in context:
+                raise NameError(f"unknown name in condition: {node.id!r}")
+            return context[node.id]
+        if isinstance(node, ast.Constant):
+            return node.value
+        raise ValueError(
+            f"syntax not allowed in condition: {type(node).__name__}")
+
+    return bool(ev(ast.parse(expr, mode="eval")))
 
 
 def make_optimizer(cfg, schedule) -> Tuple[Callable, Callable]:
