@@ -1,0 +1,101 @@
+"""Measure the grad-accumulated flagship step at the PUBLISHED global batch.
+
+VERDICT r4 item 2 follow-through: the published configs now set
+global_batch_size (dist_pred 1024), which on one chip executes
+accum = 1024 / batch_size micro-batches per optimizer step through the
+scan-based accumulation path (training/harness.py accumulated_grad) — a
+path that had never been timed at flagship scale. This times the REAL
+production Trainer step (loss + grad + Adam + NaN discipline) on the real
+chip and reports ms/optimizer-step and graphs/s.
+
+Run: python benchmarks/accum_step.py [--micro 8] [--global-batch 256]
+     [--steps 3]
+(default micro=8 matches the bench.py flagship micro-batch; global-batch
+is configurable because the full published 1024 takes ~20s/step — the
+per-micro-batch cost is what the measurement establishes.)
+"""
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--micro", type=int, default=8,
+                    help="per-pass micro batch (batch_size)")
+    ap.add_argument("--global-batch", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--n", type=int, default=48)
+    ap.add_argument("--layers", type=int, default=24)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tgt_tpu.schemes import DistPredScheme
+    from tgt_tpu.training.harness import Trainer
+
+    accum = args.global_batch // args.micro
+    with tempfile.TemporaryDirectory() as tmp:
+        over = dict(
+            dataset_source="synthetic",
+            synth_train_samples=args.global_batch * 2,
+            synth_val_samples=8, synth_max_nodes=args.n,
+            batch_size=args.micro, global_batch_size=args.global_batch,
+            buckets=[args.n],
+            node_width=768, edge_width=256, num_heads=64,
+            model_height=args.layers, triplet_heads=16,
+            triplet_type="attention", num_dist_bins=256,
+            mixed_precision=True, use_scan=True, remat=True,
+            use_pallas="dense", dense_min_nodes=48,
+            coords_input="rdkit", coords_target="dft",
+            max_lr=1e-4, lr_warmup_steps=10, lr_total_steps=1000,
+            save_path_prefix=tmp, model_name="accum_bench")
+        scheme = DistPredScheme(over)
+        trainer = Trainer(scheme)
+        assert trainer.grad_accum == accum, trainer.grad_accum
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state = trainer.shard_state(state)
+        step = trainer.build_train_step()
+
+        batches = [scheme.device_batch(b)
+                   for _, b in zip(range(2), scheme.train_loader(0, 0, 1))]
+        sharded = [trainer.shard_device_batch(b) for b in batches]
+        rng = jax.random.key(7, impl="rbg")
+
+        # compile
+        t0 = time.time()
+        state, m = step(state, sharded[0], jnp.asarray(0),
+                        jax.random.fold_in(rng, 0), jnp.asarray(1.0))
+        jax.block_until_ready(m["loss"])
+        compile_s = time.time() - t0
+        print(f"compile+first step: {compile_s:.1f}s "
+              f"(accum={accum}, micro={args.micro})", flush=True)
+
+        # two timed passes (tunnel first-pass artifact), varied inputs via rng
+        passes = []
+        for p_i in range(2):
+            t0 = time.time()
+            for i in range(args.steps):
+                state, m = step(state, sharded[(i + p_i) % 2],
+                                jnp.asarray(i + 1),
+                                jax.random.fold_in(rng, i + 1 + p_i * 100),
+                                jnp.asarray(1.0))
+            jax.block_until_ready(m["loss"])
+            passes.append((time.time() - t0) / args.steps * 1000)
+        dt = min(passes)
+        print(f"accumulated optimizer step: {dt:.1f} ms "
+              f"(passes {', '.join(f'{p:.0f}' for p in passes)}); "
+              f"{args.global_batch / dt * 1000:.1f} graphs/s; "
+              f"{dt / accum:.1f} ms per micro-batch "
+              f"(loss={float(m['loss']):.3f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
