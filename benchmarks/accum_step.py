@@ -78,16 +78,22 @@ def main():
         print(f"compile+first step: {compile_s:.1f}s "
               f"(accum={accum}, micro={args.micro})", flush=True)
 
-        # two timed passes (tunnel first-pass artifact), varied inputs via rng
+        # two timed passes (tunnel first-pass artifact), varied inputs via
+        # rng. Blocking on the FULL result tree per step: at seconds-long
+        # accumulated steps the 3-7ms dispatch round trip is noise, and
+        # end-only blocking under-reported wildly here (the first cut of
+        # this harness read 5.5 ms for a 256-graph step — work still in
+        # flight or tunnel-deduped; per-step blocking makes that
+        # impossible).
         passes = []
         for p_i in range(2):
             t0 = time.time()
             for i in range(args.steps):
                 state, m = step(state, sharded[(i + p_i) % 2],
-                                jnp.asarray(i + 1),
+                                jnp.asarray(i + 1 + p_i * args.steps),
                                 jax.random.fold_in(rng, i + 1 + p_i * 100),
                                 jnp.asarray(1.0))
-            jax.block_until_ready(m["loss"])
+                jax.block_until_ready((state, m))
             passes.append((time.time() - t0) / args.steps * 1000)
         dt = min(passes)
         print(f"accumulated optimizer step: {dt:.1f} ms "

@@ -47,7 +47,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-JBLK = 16  # j-block per grid step (divides every production bucket)
+JBLK = 16  # j-padding granule (divides every production bucket's padded j)
+
+
+def _pick_jblk(njp: int, n: int, dh: int, nblocks: int) -> int:
+    """Largest j-block per grid step that divides the padded j-range and
+    keeps the program's j-sized VMEM blocks within budget.
+
+    Round-5 anatomy (benchmarks/campaign_r5/anatomy_jblk*.log): at n=48 a
+    48-j block (grid 24 -> 8 programs) ran the fwd kernel 8% faster than
+    16-j blocks — per-program dispatch/pipeline overhead was 27% of fwd.
+    `nblocks` is how many j-sized panels the kernel holds at once (fwd 4:
+    qp/kfl/vp/out; bwd 9), so the backward naturally picks smaller blocks.
+    """
+    budget = 10 * 2**20  # leave headroom of ~6MB VMEM for working tiles
+    for cand in (48, 32, 24, 16):
+        if njp % cand == 0 and nblocks * cand * n * dh * 2 <= budget:
+            return cand
+    return JBLK
 
 # -- data-parallel composition ------------------------------------------------
 # Mosaic kernels cannot be partitioned by GSPMD at all — even a batch-axis
@@ -250,9 +267,9 @@ def _pack(q, k, v, bias, gate):
     return qp, kfl, vp, biasp, gatep
 
 
-def _specs(n, d, dh, kh):
-    blk = pl.BlockSpec((1, JBLK, n, dh), lambda bb, jc: (bb, jc, 0, 0))
-    kfl_blk = pl.BlockSpec((1, JBLK, d, kh), lambda bb, jc: (bb, jc, 0, 0))
+def _specs(n, d, dh, kh, jblk=JBLK):
+    blk = pl.BlockSpec((1, jblk, n, dh), lambda bb, jc: (bb, jc, 0, 0))
+    kfl_blk = pl.BlockSpec((1, jblk, d, kh), lambda bb, jc: (bb, jc, 0, 0))
     bias_blk = pl.BlockSpec((1, n, kh), lambda bb, jc: (bb, 0, 0))
     return blk, kfl_blk, bias_blk
 
@@ -267,11 +284,12 @@ def _call_fwd(qp, kfl, vp, biasp, gatep, gated, interpret):
     b, nj, n, dh = qp.shape
     kh = biasp.shape[-1]
     h = kh // n
-    blk, kfl_blk, bias_blk = _specs(n, dh // h, dh, kh)
+    jblk = _pick_jblk(nj, n, dh, nblocks=4)  # qp/vp/out + kfl per program
+    blk, kfl_blk, bias_blk = _specs(n, dh // h, dh, kh, jblk)
     gate_in = gatep if gated else biasp  # placeholder ref when ungated
     return pl.pallas_call(
         functools.partial(_fwd_kernel, h=h, gated=gated),
-        grid=(b, nj // JBLK),
+        grid=(b, nj // jblk),
         in_specs=[blk, kfl_blk, blk, bias_blk, bias_blk],
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct(qp.shape, qp.dtype),
@@ -294,11 +312,12 @@ def _dense_core_bwd(gated, interpret, res, dva):
     kp = k.reshape(b, nj, n, d * h)                            # [b,j,k,(dh)]
     vfl = v.transpose(0, 1, 3, 2, 4).reshape(b, nj, d, n * h)  # [b,j,d,(kh)]
     kh = n * h
-    blk, kfl_blk, bias_blk = _specs(n, d, d * h, kh)
+    jblk = _pick_jblk(nj, n, d * h, nblocks=9)  # 6 in + 3 out j-panels
+    blk, kfl_blk, bias_blk = _specs(n, d, d * h, kh, jblk)
     gate_in = gatep if gated else biasp
     dqp, dkp, dvp, dbias, dgate = pl.pallas_call(
         functools.partial(_bwd_kernel, h=h, gated=gated),
-        grid=(b, nj // JBLK),
+        grid=(b, nj // jblk),
         in_specs=[blk, kfl_blk, blk, blk, kfl_blk, bias_blk, bias_blk, blk],
         out_specs=[blk, blk, blk, bias_blk, bias_blk],
         out_shape=[
@@ -378,10 +397,11 @@ def _agg_core(ap, v, interpret):
 def _agg_core_fwd(ap, v, interpret):
     b, nj, n, d, h = v.shape  # j (dim 1) may be padded to a JBLK multiple
     vp = v.reshape(b, nj, n, d * h)
-    blk, _, bias_blk = _specs(n, d, d * h, n * h)
+    jblk = _pick_jblk(nj, n, d * h, nblocks=2)  # vp + out j-panels
+    blk, _, bias_blk = _specs(n, d, d * h, n * h, jblk)
     va = pl.pallas_call(
         functools.partial(_agg_fwd_kernel, h=h),
-        grid=(b, nj // JBLK),
+        grid=(b, nj // jblk),
         in_specs=[bias_blk, blk],
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct(vp.shape, vp.dtype),
@@ -396,10 +416,11 @@ def _agg_core_bwd(interpret, res, dva):
     ap, v = res
     b, nj, n, d, h = v.shape
     vfl = v.transpose(0, 1, 3, 2, 4).reshape(b, nj, d, n * h)
-    blk, kfl_blk, bias_blk = _specs(n, d, d * h, n * h)
+    jblk = _pick_jblk(nj, n, d * h, nblocks=3)  # vfl/dva/dvp j-panels
+    blk, kfl_blk, bias_blk = _specs(n, d, d * h, n * h, jblk)
     da, dvp = pl.pallas_call(
         functools.partial(_agg_bwd_kernel, h=h),
-        grid=(b, nj // JBLK),
+        grid=(b, nj // jblk),
         in_specs=[bias_blk, kfl_blk, blk],
         out_specs=[bias_blk, blk],
         out_shape=[
