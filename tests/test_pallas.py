@@ -597,3 +597,33 @@ class TestModelIntegration:
         at = make_synthetic_batch(jax.random.PRNGKey(0), b=1, n=32, seed=1)
         apply(params, at, cfg)
         assert calls == [32]          # n=32 >= 32: kernel
+
+    def test_dense_exact_bucket_rule(self, monkeypatch):
+        """Round-5 crossover: lane-exact buckets (no j-padding) run the
+        kernel from dense_min_exact_nodes up, j-PADDED buckets only from
+        dense_min_nodes up (campaign_r5: dense wins 32/48/56, loses the
+        padded 24/40)."""
+        from tests.conftest import make_synthetic_batch
+        from tgt_tpu.models import TGTConfig, make_model
+        import tgt_tpu.ops.pallas.triplet_dense as td
+        calls = []
+        orig = td.triplet_attention_dense
+        monkeypatch.setattr(
+            td, "triplet_attention_dense",
+            lambda *a, **k: (calls.append(a[1].shape[1]), orig(*a, **k))[1])
+        # d*h = 128, and n*h % 128 == 0 for n in {24, 32}; _jpad(24) = 32
+        cfg = TGTConfig(node_width=32, edge_width=128, num_heads=4,
+                        model_height=2, triplet_heads=16,
+                        triplet_type="attention", num_dist_bins=8,
+                        use_pallas="dense", dense_min_nodes=48,
+                        dense_min_exact_nodes=32)
+        init, apply = make_model("gap")
+        params = init(jax.random.PRNGKey(0), cfg)
+        padded = make_synthetic_batch(jax.random.PRNGKey(0), b=1, n=24,
+                                      seed=1)
+        apply(params, padded, cfg)
+        assert calls == []            # 24 is j-padded and < 48: XLA
+        exact = make_synthetic_batch(jax.random.PRNGKey(0), b=1, n=32,
+                                     seed=1)
+        apply(params, exact, cfg)
+        assert calls == [32]          # 32 is lane-exact and >= 32: kernel

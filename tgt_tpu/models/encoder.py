@@ -99,10 +99,16 @@ def tgt_layer_apply(p: Dict[str, Any], g: Graph, cfg: TGTConfig,
         e = e + dp(r[4], e_up)
         if cfg.triplet_enabled:
             tri_kwargs = {}
-            # the dense kernel only wins from ~48-node buckets up (measured
-            # crossover — see TGTConfig.dense_min_nodes); the bucket size is
-            # static per compiled shape, so each bucket picks its winner
-            dense_ok = e.shape[1] >= cfg.dense_min_nodes
+            # measured crossover (see TGTConfig.dense_min_nodes): the dense
+            # kernel wins from 48 up, and already from 32 up on buckets that
+            # run lane-exact (no j-padding); the bucket size is static per
+            # compiled shape, so each bucket picks its winner
+            n_bucket = e.shape[1]
+            dense_ok = n_bucket >= cfg.dense_min_nodes
+            if not dense_ok and cfg.use_pallas == "dense":
+                from tgt_tpu.ops.pallas.triplet_dense import _jpad
+                dense_ok = (n_bucket >= cfg.dense_min_exact_nodes
+                            and _jpad(n_bucket) == n_bucket)
             if cfg.use_pallas and cfg.triplet_type in ("attention",
                                                        "attention_ungated"):
                 if cfg.use_pallas != "dense" or dense_ok:

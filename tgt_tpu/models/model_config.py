@@ -73,11 +73,16 @@ class TGTConfig:
     use_pallas: object = False
     # Bucket-size floor for the dense kernel: buckets below this run the
     # XLA path even when use_pallas='dense'. MEASURED crossover (v5e, b=8,
-    # 24 layers, benchmarks/campaign_r4 sweep_{base,dense}_n*): the kernel
-    # wins 1.22x at n=48, is a wash at 32/56, and LOSES 0.8x at the
-    # j-padded 24/40 — the N^3 HBM traffic it eliminates only dominates
-    # from n~48 up. Static per compiled bucket.
+    # 24 layers; XLA from campaign_r4 sweep_base_n*, dense re-measured at
+    # round-5 HEAD after the softmax rework, campaign_r5 sweep_dense_n*):
+    # XLA/dense ms — 24: 70.9/83.2, 32: 87.1/83.1, 40: 115.1/127.3,
+    # 48: 186.4/136.7, 56: 238.7/209.4. The kernel wins every bucket it
+    # runs lane-exact (32, 48) and the large padded one (56); the small
+    # j-PADDED buckets (24 pads j 33%, 40 pads 20%) stay XLA. Gate:
+    # n >= dense_min_nodes, OR n >= dense_min_exact_nodes when the bucket
+    # needs no j-padding. Static per compiled bucket.
     dense_min_nodes: int = 48
+    dense_min_exact_nodes: int = 32
 
     @property
     def triplet_enabled(self) -> bool:

@@ -115,9 +115,10 @@ def default_scheme_config() -> Config:
         compilation_cache_dir=None,
         use_scan=True,
         use_pallas=False,
-        # dense-kernel bucket floor (buckets below run XLA); 48 = measured
-        # crossover on v5e — see TGTConfig.dense_min_nodes
+        # dense-kernel bucket floors (buckets below run XLA); 48 / 32-exact
+        # = measured crossover on v5e — see TGTConfig.dense_min_nodes
         dense_min_nodes=48,
+        dense_min_exact_nodes=32,
         # MC-draw schedule for stochastic evaluation (mc_sample): 'map' =
         # sequential lax.scan (lowest memory, the default), 'vmap' = all
         # draws batched into one program — faster on TPU when the per-draw
@@ -260,7 +261,8 @@ class TGTScheme:
             compute_dtype=c.compute_dtype, remat=c.remat,
             remat_policy=getattr(c, "remat_policy", "none") or "none",
             use_scan=c.use_scan, use_pallas=c.use_pallas,
-            dense_min_nodes=getattr(c, "dense_min_nodes", 48))
+            dense_min_nodes=getattr(c, "dense_min_nodes", 48),
+            dense_min_exact_nodes=getattr(c, "dense_min_exact_nodes", 32))
 
     # -- model ------------------------------------------------------------
     def init_params(self, rng: jax.Array):
