@@ -67,6 +67,12 @@ def main():
         scheme="pcqm.pretrain",
         # mode 'pair': (data=2, pair=2) mesh over 2 processes — edge-block
         # partitioning spanning a process boundary
+        # mode 'gbs': published-batch reproduction across processes —
+        # global_batch_size=16 at batch_size 2 and world_size 2 derives
+        # accum=4, so each of the 2 epochs runs exactly ONE optimizer step
+        # (16 samples / 16 global) and history must still be identical on
+        # every rank
+        global_batch_size=16 if mode == "gbs" else None,
         num_pair_devices=2 if mode == "pair" else 1,
         dataset_source="synthetic",
         synth_train_samples=16,
@@ -86,7 +92,7 @@ def main():
         max_lr=1e-3,
         lr_warmup_steps=4,
         lr_total_steps=10_000,
-        num_epochs=1,
+        num_epochs=2 if mode == "gbs" else 1,
         save_path_prefix=save_dir,
         model_name="mp",
         jax_coordinator=coordinator,

@@ -158,6 +158,21 @@ def _run_pair(tmp_path, mode):
     return results
 
 
+def test_two_process_global_batch_size(tmp_path):
+    """Published-batch reproduction across PROCESSES: global_batch_size=16
+    at batch_size 2 and world_size 2 derives accum=4 on each rank, the
+    loaders size host batches at 8/rank, and each epoch runs exactly ONE
+    16-sample optimizer step. History must be identical on every rank and
+    the step count must reflect the derived accumulation."""
+    (tmp_path / "gbs").mkdir()
+    results = _run_pair(tmp_path, "gbs")
+    r0, r1 = results
+    assert r0["loss"] == pytest.approx(r1["loss"], rel=1e-6)
+    assert np.isfinite(r0["loss"])
+    # 2 epochs x (16 samples / 16 global batch) = 2 optimizer steps total
+    assert int(r0["global_step"]) == 2, r0
+
+
 def test_two_process_pair_sharded_training(tmp_path):
     """(data=2, pair=2) mesh over 2 processes: the edge-block 'pair' axis
     spans a process boundary. Train loss must match the pure-DP run on the

@@ -60,7 +60,13 @@ def _pick_jblk(njp: int, n: int, dh: int, nblocks: int) -> int:
     `nblocks` is how many j-sized panels the kernel holds at once (fwd 4:
     qp/kfl/vp/out; bwd 9), so the backward naturally picks smaller blocks.
     """
-    budget = 10 * 2**20  # leave headroom of ~6MB VMEM for working tiles
+    # Budget is for a SINGLE copy of the j-sized panels; Pallas double-
+    # buffers grid-varying blocks, so the real footprint is ~2x this plus
+    # the working tiles (s/p/a, masks, bias/gate). 6MB measured safe: the
+    # n=48 bwd at jblk=24 (5.3MB) compiles and runs; the n=64 bwd at
+    # jblk=32 (9.4MB) OOMed scoped vmem by 0.9MB on chip
+    # (campaign_r5/sweep_dense_n64.log) — it now falls back to 16.
+    budget = 6 * 2**20
     for cand in (48, 32, 24, 16):
         if njp % cand == 0 and nblocks * cand * n * dh * 2 <= budget:
             return cand
