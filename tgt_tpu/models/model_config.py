@@ -75,9 +75,10 @@ class TGTConfig:
     # XLA path even when use_pallas='dense'. MEASURED crossover (v5e, b=8,
     # 24 layers; XLA from campaign_r4 sweep_base_n*, dense re-measured at
     # round-5 HEAD after the softmax rework, campaign_r5 sweep_dense_n*):
-    # XLA/dense ms — 24: 70.9/83.2, 32: 87.1/83.1, 40: 115.1/127.3,
-    # 48: 186.4/136.7, 56: 238.7/209.4. The kernel wins every bucket it
-    # runs lane-exact (32, 48) and the large padded one (56); the small
+    # XLA/dense ms — 24: 70.9/83.2, 32: 87.1/79.6, 40: 115.1/127.3,
+    # 48: 186.4/137.4, 56: 238.7/209.4, 64: 325.6/222.2 (1.47x). The
+    # kernel wins every bucket it runs lane-exact (32/48/64, growing with
+    # n) and the large padded one (56); the small
     # j-PADDED buckets (24 pads j 33%, 40 pads 20%) stay XLA. Gate:
     # n >= dense_min_nodes, OR n >= dense_min_exact_nodes when the bucket
     # needs no j-padding. Static per compiled bucket.

@@ -528,13 +528,21 @@ def _jpad(n: int) -> int:
 
 
 def dense_supported(n: int, edge_width: int, num_heads: int) -> bool:
-    """Lane-density requirement only: the (k*H) and (d*H) lane dims must be
-    128-dense. The j grid axis is zero-padded to a JBLK multiple by the
-    public entries (exact: padded-j rows receive zero cotangents, so every
-    cross-j accumulation — dbias/dgate/da — gets a zero contribution), so
-    n % JBLK is NOT required. All production buckets (24..56, h=16) pass."""
+    """Two requirements. (1) Lane density: the (k*H) and (d*H) lane dims
+    must be 128-dense. The j grid axis is zero-padded to a JBLK multiple by
+    the public entries (exact: padded-j rows receive zero cotangents, so
+    every cross-j accumulation — dbias/dgate/da — gets a zero
+    contribution), so n % JBLK is NOT required. (2) VMEM feasibility: the
+    backward kernel holds 9 j-sized panels, double-buffered, plus ~4MB of
+    working tiles — at the minimum block (JBLK=16) that caps n*d*H; past
+    it (n >= ~90 at flagship widths) Mosaic OOMs scoped vmem at compile,
+    so such geometries fall back to the jnp path (with the config-time
+    fallback warning) instead. All production buckets (24..64, h=16)
+    pass both."""
     d = edge_width // num_heads
-    return (n * num_heads) % 128 == 0 and (d * num_heads) % 128 == 0
+    lanes_ok = (n * num_heads) % 128 == 0 and (d * num_heads) % 128 == 0
+    bwd_panels = 2 * 9 * JBLK * n * (d * num_heads) * 2  # double-buffered
+    return lanes_ok and bwd_panels <= 12 * 2**20
 
 
 def triplet_attention_dense(p, e, mask, *, num_heads: int, gated: bool = True,
