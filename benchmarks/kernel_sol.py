@@ -104,6 +104,9 @@ def main():
     ap.add_argument("--grad", action="store_true",
                     help="time fwd+bwd instead of fwd (flops scaled 3x)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--dense", action="store_true",
+                    help="time the promoted lane-dense Mosaic kernel for "
+                         "the triplet entry instead of the jnp/XLA path")
     ap.add_argument("--json", action="store_true",
                     help="emit one JSON line per kernel")
     args = ap.parse_args()
@@ -137,8 +140,14 @@ def main():
         dh, de = egt_attention(p, h, e, mask, num_heads=N_HEADS)
         return h + dh, e + de
 
-    def tri_layer(p, e):
-        return e + triplet_attention(p, e, mask, num_heads=T_HEADS)
+    if args.dense:
+        from tgt_tpu.ops.pallas.triplet_dense import triplet_attention_dense
+
+        def tri_layer(p, e):
+            return e + triplet_attention_dense(p, e, mask, num_heads=T_HEADS)
+    else:
+        def tri_layer(p, e):
+            return e + triplet_attention(p, e, mask, num_heads=T_HEADS)
 
     def eu_layer(p, h, e):
         _, de = edge_update(p, h, e, mask, num_heads=N_HEADS)
