@@ -77,6 +77,18 @@ def main():
         compile_s = time.time() - t0
         print(f"compile+first step: {compile_s:.1f}s "
               f"(accum={accum}, micro={args.micro})", flush=True)
+        # sanity print: XLA's cost analysis counts a scan BODY once (so this
+        # reads ~2e11 = one b=8 micro-step, not accum x that); the real
+        # proof the scan executes every micro-batch is the per-step losses
+        # below moving train-like at ~accum x the micro-step's wall time
+        try:
+            ca = jax.jit(step).lower(
+                state, sharded[0], jnp.asarray(0), jax.random.fold_in(rng, 0),
+                jnp.asarray(1.0)).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            print(f"compiled flops: {ca.get('flops', 0):.3e}", flush=True)
+        except Exception as exc:
+            print(f"cost_analysis unavailable: {exc}", flush=True)
 
         # two timed passes (tunnel first-pass artifact), varied inputs via
         # rng. Blocking on the FULL result tree per step: at seconds-long
@@ -88,13 +100,18 @@ def main():
         passes = []
         for p_i in range(2):
             t0 = time.time()
+            losses = []
             for i in range(args.steps):
                 state, m = step(state, sharded[(i + p_i) % 2],
                                 jnp.asarray(i + 1 + p_i * args.steps),
                                 jax.random.fold_in(rng, i + 1 + p_i * 100),
                                 jnp.asarray(1.0))
-                jax.block_until_ready((state, m))
+                # a HOST fetch per step: the only wait the tunnel cannot
+                # elide (block_until_ready alone read 8 ms for this step)
+                losses.append(float(m["loss"]))
             passes.append((time.time() - t0) / args.steps * 1000)
+            print(f"pass {p_i}: losses "
+                  f"{['%.4f' % l for l in losses]}", flush=True)
         dt = min(passes)
         print(f"accumulated optimizer step: {dt:.1f} ms "
               f"(passes {', '.join(f'{p:.0f}' for p in passes)}); "
