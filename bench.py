@@ -309,17 +309,11 @@ def main():
     # probe distinguishes "relay down" (clear error JSON in ~4 min) from
     # "relay up but slow" (proceed; watchdog is the backstop).
     def relay_port_open():
-        import socket
         # BOTH tunnel ports must accept: a half-up relay (8083 open, 8082
         # down) still hangs jax.devices() and would otherwise burn the whole
-        # budget before the watchdog fires
-        for port in (8082, 8083):
-            try:
-                with socket.create_connection(("127.0.0.1", port), timeout=5):
-                    pass
-            except OSError:
-                return False
-        return True
+        # budget before the watchdog fires (shared probe: utils/relay.py)
+        from tgt_tpu.utils.relay import relay_ports_open
+        return relay_ports_open()
 
     for attempt in range(8):
         if relay_port_open():

@@ -130,13 +130,43 @@ class TestTripletDenseKernel:
         return p, pu, e, mask, h
 
     def test_supported_geometries(self):
-        from tgt_tpu.ops.pallas.triplet_dense import dense_supported
+        from tgt_tpu.ops.pallas.triplet_dense import (dense_supported,
+                                                      dense_unsupported_reason)
         # EVERY production bucket (24..56) at flagship triplet geometry —
         # non-JBLK multiples are handled by exact j-axis zero-padding
         assert all(dense_supported(n, 256, 16)
                    for n in (16, 24, 32, 40, 48, 56, 64))
         assert not dense_supported(12, 256, 16)   # 12*16 lanes not 128-dense
         assert not dense_supported(16, 32, 4)     # lanes not 128-dense
+        # VMEM feasibility clause (round-5): large-N bf16 attention bwd
+        # (9 double-buffered panels) exceeds the budget at n=96; the
+        # 3-panel AGGREGATE backward still fits there, and the reason
+        # string names VMEM, not lanes
+        assert not dense_supported(96, 256, 16)
+        assert "VMEM" in dense_unsupported_reason(96, 256, 16)
+        assert dense_supported(96, 256, 16, bwd_nblocks=3)
+        # f32 programs (itemsize 4) halve the feasible n
+        assert dense_supported(48, 256, 16, itemsize=2)
+        assert not dense_supported(64, 256, 16, itemsize=4)
+
+    def test_rowmax_underflow_guard(self):
+        """A head whose logits ALL sit far below the cross-head row max
+        (exp row flushes to exact 0) must output zeros, not NaN (the
+        per-row max's one failure mode vs the old per-head segmax —
+        guarded by the denominator clamp in _attn_tile)."""
+        from tgt_tpu.ops.pallas.triplet_dense import triplet_attention_dense
+        from tgt_tpu.ops.triplet import triplet_attention_init
+        b, n, w, h = 1, 16, 128, 8
+        p = triplet_attention_init(jax.random.PRNGKey(0), w, h, gated=True)
+        # push head 0's logit bias 300 below the others (lin_EG emits 2h
+        # channels: h bias + h gate; entry 0 is head 0's bias)
+        eg = p["lin_EG_in"]["b"]
+        p["lin_EG_in"]["b"] = eg.at[0].set(-300.0)
+        e = jax.random.normal(jax.random.PRNGKey(1), (b, n, n, w)) * 0.1
+        mask = jnp.zeros((b, n, n, 1))
+        out = triplet_attention_dense(p, e, mask, num_heads=h,
+                                      interpret=True)
+        assert np.isfinite(np.asarray(out, np.float32)).all()
 
     @pytest.mark.parametrize("n", [24, 40])
     def test_jpadded_buckets_match_jnp(self, n):

@@ -514,9 +514,15 @@ class TestGradAccumulation:
         """Every published train-stage config reproduces the published
         global batch (BASELINE.md: dist_pred 1024, pretrain/finetune 2048)."""
         import glob
+        import os
 
         from tgt_tpu.core.config import load_yaml
-        for path in glob.glob("configs/pcqm/tgt_*/*/*.yaml"):
+        # anchored to the repo root: a cwd-relative glob silently matches
+        # nothing when pytest runs from elsewhere (vacuous pass)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        paths = glob.glob(os.path.join(repo, "configs/pcqm/tgt_*/*/*.yaml"))
+        assert len(paths) >= 10, paths
+        for path in paths:
             cfg = load_yaml(path)
             stage = path.split("/")[-2]
             if stage == "dist_pred":
@@ -531,6 +537,30 @@ class TestGradAccumulation:
                                        batch_size=8, grad_accum_steps=2)
         result = trainer.fit(num_epochs=1)
         assert np.isfinite(result["history"][-1]["loss"])
+
+    def test_meshless_uneven_batch_pads_to_accum(self, tmp_path):
+        """Single-device (mesh=None) Trainers must ALSO pad uneven batches
+        to an accum multiple: the padding used to live only in the mesh
+        branch of shard_device_batch, so a published config (accum>1) on
+        one real chip crashed at trace time on the epoch's uneven final
+        batch (round-5 review finding; the hermetic suite always built a
+        mesh so never saw it)."""
+        import jax.numpy as jnp
+        scheme, trainer = make_trainer(PretrainScheme, tmp_path, "ga6",
+                                       batch_size=6, grad_accum_steps=3,
+                                       use_mesh=False)
+        assert trainer.mesh is None
+        batch = next(iter(scheme.train_loader(0, 0, 1)))
+        db = scheme.device_batch(batch)   # 16 of the requested 18 samples
+        padded = trainer.shard_device_batch(db)
+        lead = max(np.shape(v)[0] for v in padded.values()
+                   if np.ndim(v) >= 1)
+        assert lead == 18                 # padded to a multiple of accum=3
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        step = trainer.build_train_step()
+        _, metrics = step(state, padded, jnp.asarray(0),
+                          jax.random.PRNGKey(1), jnp.asarray(1.0))
+        assert np.isfinite(float(metrics["loss"]))
 
     def test_pallas_mesh_composition_rules(self, tmp_path):
         """Mosaic kernels cannot be partitioned by GSPMD at all (even data

@@ -41,6 +41,7 @@ configs run triplet dropout 0; the wrapper falls back to jnp otherwise).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -50,7 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 JBLK = 16  # j-padding granule (divides every production bucket's padded j)
 
 
-def _pick_jblk(njp: int, n: int, dh: int, nblocks: int) -> int:
+def _pick_jblk(njp: int, n: int, dh: int, nblocks: int,
+               itemsize: int = 2) -> int:
     """Largest j-block per grid step that divides the padded j-range and
     keeps the program's j-sized VMEM blocks within budget.
 
@@ -68,7 +70,7 @@ def _pick_jblk(njp: int, n: int, dh: int, nblocks: int) -> int:
     # (campaign_r5/sweep_dense_n64.log) — it now falls back to 16.
     budget = 6 * 2**20
     for cand in (48, 32, 24, 16):
-        if njp % cand == 0 and nblocks * cand * n * dh * 2 <= budget:
+        if njp % cand == 0 and nblocks * cand * n * dh * itemsize <= budget:
             return cand
     return JBLK
 
@@ -163,13 +165,18 @@ def _attn_tile(qp, kfl, biasp, g, h, n, dtype, qk_mask):
     invariant to any shift constant over the k reduction, and a per-ROW
     max (over all (k,h) lanes) is such a constant — one lane-reduce
     replaces the log2(n) roll-doubling passes of the old exact segmax.
-    Exact in real arithmetic; the only float hazard is exp underflow when
-    one head's logits sit ~80 below the row max across ALL k, which the
-    f32 denominator tolerates down to ~1e-38 before any precision loss."""
+    Exact in real arithmetic; the float hazard (unlike the old per-head
+    segmax, which could never underflow a whole row) is a head whose
+    logits ALL sit ~88+ below the cross-head row max: its exp row flushes
+    to exact 0 and an unguarded 1/0 denominator would turn 0*inf into
+    NaN. The denominator clamp below makes that head output exact zeros
+    instead — graceful degradation at a logit spread no trained model
+    approaches (precision already saturates by spread ~80)."""
     kbig = _brep(kfl, h) * qk_mask
     s = _dot(qp, kbig, dtype) + biasp
     p = jnp.exp(s - jnp.max(s, axis=1, keepdims=True))
-    recip = 1.0 / _dot(p, _sel(n * h, h, dtype), dtype)
+    denom = jnp.maximum(_dot(p, _sel(n * h, h, dtype), dtype), 1e-30)
+    recip = 1.0 / denom
     a = p * g if g is not None else p
     return p, recip, a
 
@@ -290,7 +297,8 @@ def _call_fwd(qp, kfl, vp, biasp, gatep, gated, interpret):
     b, nj, n, dh = qp.shape
     kh = biasp.shape[-1]
     h = kh // n
-    jblk = _pick_jblk(nj, n, dh, nblocks=4)  # qp/vp/out + kfl per program
+    jblk = _pick_jblk(nj, n, dh, nblocks=4,  # qp/vp/out + kfl per program
+                      itemsize=qp.dtype.itemsize)
     blk, kfl_blk, bias_blk = _specs(n, dh // h, dh, kh, jblk)
     gate_in = gatep if gated else biasp  # placeholder ref when ungated
     return pl.pallas_call(
@@ -318,7 +326,8 @@ def _dense_core_bwd(gated, interpret, res, dva):
     kp = k.reshape(b, nj, n, d * h)                            # [b,j,k,(dh)]
     vfl = v.transpose(0, 1, 3, 2, 4).reshape(b, nj, d, n * h)  # [b,j,d,(kh)]
     kh = n * h
-    jblk = _pick_jblk(nj, n, d * h, nblocks=9)  # 6 in + 3 out j-panels
+    jblk = _pick_jblk(nj, n, d * h, nblocks=9,  # 6 in + 3 out j-panels
+                      itemsize=q.dtype.itemsize)
     blk, kfl_blk, bias_blk = _specs(n, d, d * h, kh, jblk)
     gate_in = gatep if gated else biasp
     dqp, dkp, dvp, dbias, dgate = pl.pallas_call(
@@ -403,7 +412,8 @@ def _agg_core(ap, v, interpret):
 def _agg_core_fwd(ap, v, interpret):
     b, nj, n, d, h = v.shape  # j (dim 1) may be padded to a JBLK multiple
     vp = v.reshape(b, nj, n, d * h)
-    jblk = _pick_jblk(nj, n, d * h, nblocks=2)  # vp + out j-panels
+    jblk = _pick_jblk(nj, n, d * h, nblocks=2,  # vp + out j-panels
+                      itemsize=v.dtype.itemsize)
     blk, _, bias_blk = _specs(n, d, d * h, n * h, jblk)
     va = pl.pallas_call(
         functools.partial(_agg_fwd_kernel, h=h),
@@ -422,7 +432,8 @@ def _agg_core_bwd(interpret, res, dva):
     ap, v = res
     b, nj, n, d, h = v.shape
     vfl = v.transpose(0, 1, 3, 2, 4).reshape(b, nj, d, n * h)
-    jblk = _pick_jblk(nj, n, d * h, nblocks=3)  # vfl/dva/dvp j-panels
+    jblk = _pick_jblk(nj, n, d * h, nblocks=3,  # vfl/dva/dvp j-panels
+                      itemsize=v.dtype.itemsize)
     blk, kfl_blk, bias_blk = _specs(n, d, d * h, n * h, jblk)
     da, dvp = pl.pallas_call(
         functools.partial(_agg_bwd_kernel, h=h),
@@ -459,12 +470,13 @@ def triplet_aggregate_dense(p, e, mask, *, num_heads: int, gated: bool = True,
 
     b, n, _, w = e.shape
     h = num_heads
-    if not dense_supported(n, w, h):
-        raise ValueError(
-            f"dense kernel needs 128-dense lanes: N*H and d*H must be "
-            f"multiples of 128; got N={n}, edge_width={w}, H={h}. Use the "
-            f"jnp path (ops/triplet) for this geometry.")
     interpret = _resolve_interpret(interpret)
+    reason = dense_unsupported_reason(n, w, h, itemsize=e.dtype.itemsize,
+                                      bwd_nblocks=3,
+                                      check_vmem=not interpret)
+    if reason:
+        raise ValueError(f"dense aggregate kernel unsupported: {reason}. "
+                         f"Use the jnp path (ops/triplet).")
     d = w // h
     e_ln = layernorm(p["tri_ln_e"], e)
     v_in, v_out = jnp.split(linear(p["lin_V"], e_ln), 2, axis=-1)
@@ -527,22 +539,49 @@ def _jpad(n: int) -> int:
     return -(-n // JBLK) * JBLK
 
 
-def dense_supported(n: int, edge_width: int, num_heads: int) -> bool:
-    """Two requirements. (1) Lane density: the (k*H) and (d*H) lane dims
-    must be 128-dense. The j grid axis is zero-padded to a JBLK multiple by
-    the public entries (exact: padded-j rows receive zero cotangents, so
-    every cross-j accumulation — dbias/dgate/da — gets a zero
-    contribution), so n % JBLK is NOT required. (2) VMEM feasibility: the
-    backward kernel holds 9 j-sized panels, double-buffered, plus ~4MB of
-    working tiles — at the minimum block (JBLK=16) that caps n*d*H; past
-    it (n >= ~90 at flagship widths) Mosaic OOMs scoped vmem at compile,
-    so such geometries fall back to the jnp path (with the config-time
-    fallback warning) instead. All production buckets (24..64, h=16)
-    pass both."""
+def dense_unsupported_reason(n: int, edge_width: int, num_heads: int, *,
+                             itemsize: int = 2, bwd_nblocks: int = 9,
+                             check_vmem: bool = True) -> Optional[str]:
+    """Why this geometry cannot run the dense kernel, or None if it can.
+
+    Two requirements. (1) Lane density: the (k*H) and (d*H) lane dims must
+    be 128-dense. The j grid axis is zero-padded to a JBLK multiple by the
+    public entries (exact: padded-j rows receive zero cotangents, so every
+    cross-j accumulation — dbias/dgate/da — gets a zero contribution), so
+    n % JBLK is NOT required. (2) VMEM feasibility: the backward kernel
+    holds `bwd_nblocks` j-sized panels (attention 9, aggregate 3),
+    double-buffered, plus ~4MB of working tiles — at the minimum block
+    (JBLK=16) that caps n*d*H*itemsize; past it Mosaic OOMs scoped vmem at
+    COMPILE time, so such geometries fall back to the jnp path (with the
+    fallback warning) instead. `itemsize` is the compute dtype's bytes
+    (bf16 2, f32 4 — f32 programs halve the feasible n). All production
+    buckets (24..64, h=16, bf16) pass both."""
     d = edge_width // num_heads
-    lanes_ok = (n * num_heads) % 128 == 0 and (d * num_heads) % 128 == 0
-    bwd_panels = 2 * 9 * JBLK * n * (d * num_heads) * 2  # double-buffered
-    return lanes_ok and bwd_panels <= 12 * 2**20
+    if (n * num_heads) % 128 or (d * num_heads) % 128:
+        return (f"geometry N={n}, W={edge_width}, H={num_heads} is not "
+                f"128-lane-dense (needs N*H % 128 == 0 and "
+                f"(W/H)*H % 128 == 0)")
+    panel_bytes = 2 * bwd_nblocks * JBLK * n * (d * num_heads) * itemsize
+    # check_vmem=False for interpret-mode runs (no VMEM exists there; the
+    # CPU oracle tests run the flagship geometry in f32 for precision)
+    if check_vmem and panel_bytes > 12 * 2**20:
+        return (f"geometry N={n}, W={edge_width}, H={num_heads} at "
+                f"itemsize={itemsize} needs {panel_bytes / 2**20:.1f}MB of "
+                f"double-buffered backward panels even at the minimum "
+                f"j-block — over the ~12MB VMEM budget (Mosaic would OOM "
+                f"scoped vmem at compile)")
+    return None
+
+
+def dense_supported(n: int, edge_width: int, num_heads: int, *,
+                    itemsize: int = 2, bwd_nblocks: int = 9,
+                    check_vmem: bool = True) -> bool:
+    """True if the dense kernel can run this geometry (see
+    dense_unsupported_reason for the two requirements)."""
+    return dense_unsupported_reason(n, edge_width, num_heads,
+                                    itemsize=itemsize,
+                                    bwd_nblocks=bwd_nblocks,
+                                    check_vmem=check_vmem) is None
 
 
 def triplet_attention_dense(p, e, mask, *, num_heads: int, gated: bool = True,
@@ -558,12 +597,13 @@ def triplet_attention_dense(p, e, mask, *, num_heads: int, gated: bool = True,
 
     b, n, _, w = e.shape
     h = num_heads
-    if not dense_supported(n, w, h):
-        raise ValueError(
-            f"dense kernel needs 128-dense lanes: N*H and d*H must be "
-            f"multiples of 128; got N={n}, edge_width={w}, H={h}. Use the "
-            f"jnp path (ops/triplet) for this geometry.")
     interpret = _resolve_interpret(interpret)
+    reason = dense_unsupported_reason(n, w, h, itemsize=e.dtype.itemsize,
+                                      bwd_nblocks=9,
+                                      check_vmem=not interpret)
+    if reason:
+        raise ValueError(f"dense attention kernel unsupported: {reason}. "
+                         f"Use the jnp path (ops/triplet).")
     d = w // h
     scale = d ** -0.5
     e_ln = layernorm(p["tri_ln_e"], e)

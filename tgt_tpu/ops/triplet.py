@@ -89,13 +89,16 @@ def _aggregate_dense_or_none(p, e, mask, *, num_heads, gated,
     """Route to the lane-dense kernel when requested and supported."""
     if use_pallas != "dense":
         return None
-    from tgt_tpu.ops.pallas.triplet_dense import (dense_supported,
+    from tgt_tpu.ops.pallas.triplet_dense import (dense_unsupported_reason,
                                                   triplet_aggregate_dense)
-    if not dense_supported(e.shape[1], e.shape[-1], num_heads):
-        _warn_pallas_fallback(
-            f"aggregate geometry N={e.shape[1]}, W={e.shape[-1]}, "
-            f"H={num_heads} is not 128-lane-dense (needs N*H % 128 == 0 "
-            f"and (W/H)*H % 128 == 0)")
+    reason = dense_unsupported_reason(
+        e.shape[1], e.shape[-1], num_heads, itemsize=e.dtype.itemsize,
+        bwd_nblocks=3,
+        # VMEM feasibility only binds when the kernel actually compiles
+        # (interpret mode on non-TPU backends has no VMEM)
+        check_vmem=jax.default_backend() == "tpu")
+    if reason:
+        _warn_pallas_fallback(f"aggregate {reason}")
         return None
     return triplet_aggregate_dense(p, e, mask, num_heads=num_heads,
                                    gated=gated,
@@ -273,16 +276,17 @@ def _triplet_attention_impl(p, e, mask, *, num_heads, gated, attention_dropout,
     if use_pallas and (deterministic or attention_dropout == 0.0):
         if use_pallas == "dense":
             from tgt_tpu.ops.pallas.triplet_dense import (
-                dense_supported, triplet_attention_dense)
-            if dense_supported(e.shape[1], e.shape[-1], num_heads):
+                dense_unsupported_reason, triplet_attention_dense)
+            reason = dense_unsupported_reason(
+                e.shape[1], e.shape[-1], num_heads,
+                itemsize=e.dtype.itemsize, bwd_nblocks=9,
+                check_vmem=jax.default_backend() == "tpu")
+            if reason is None:
                 return triplet_attention_dense(p, e, mask,
                                                num_heads=num_heads,
                                                gated=gated)
             # unsupported geometry: fall through to the jnp path
-            _warn_pallas_fallback(
-                f"geometry N={e.shape[1]}, W={e.shape[-1]}, H={num_heads} "
-                f"is not 128-lane-dense (needs N*H % 128 == 0 and "
-                f"(W/H)*H % 128 == 0)")
+            _warn_pallas_fallback(reason)
         else:
             from tgt_tpu.ops.pallas.triplet_attention import (
                 triplet_attention_fused)

@@ -73,6 +73,13 @@ class _BasePredictor:
         self.mc_vmap_max_nodes = mc_vmap_max_nodes
         self._transform = AddStructuralData()
         self._rng = jax.random.PRNGKey(seed)
+        # serializes device dispatch + the self._rng split across threads:
+        # warmup() abandons a wedged compile thread and retries, and the
+        # abandoned thread may come back to life — without the lock two
+        # threads could race the rng split (correlated MC draws) and
+        # double-dispatch into the single-process TPU tunnel
+        import threading as _threading
+        self._dispatch_lock = _threading.Lock()
         _, self.apply = make_model(self.MODEL)
         self._jitted = jax.jit(self._mc_forward)
 
@@ -133,6 +140,11 @@ class _BasePredictor:
 
     # -- shared batched-dispatch machinery ---------------------------------
     def _run(self, rows: List[Dict], jitted, node_axes: tuple) -> np.ndarray:
+        with self._dispatch_lock:
+            return self._run_locked(rows, jitted, node_axes)
+
+    def _run_locked(self, rows: List[Dict], jitted,
+                    node_axes: tuple) -> np.ndarray:
         """Size-sorted bucketed batching + fully pipelined dispatch around
         an arbitrary jitted (params, feed, rng) -> array function."""
         if not rows:
@@ -200,14 +212,8 @@ class _BasePredictor:
         On non-tunneled backends (CPU tests, direct TPU) trivially true."""
         if jax.default_backend() != "axon":
             return True
-        import socket
-        for port in (8082, 8083):
-            try:
-                with socket.create_connection(("127.0.0.1", port), timeout=5):
-                    pass
-            except OSError:
-                return False
-        return True
+        from tgt_tpu.utils.relay import relay_ports_open
+        return relay_ports_open()
 
     def warmup(self, per_bucket_timeout: Optional[float] = 900.0,
                retries: int = 2) -> None:
@@ -254,8 +260,21 @@ class _BasePredictor:
                         f"{per_bucket_timeout}s (attempt {attempt + 1}) — "
                         f"likely a wedged tunnel compile")
                 if attempt < retries:
-                    # probe-gated retry: don't re-dispatch into a dead relay
                     deadline = _time.time() + 120
+                    # SHORT grace window for the abandoned attempt: a late
+                    # success within it is a success and skips the retry; a
+                    # late exception improves the diagnostic. Kept short —
+                    # _run's dispatch lock already serializes any overlap
+                    # between a still-wedged attempt and the retry, so
+                    # there is no need to wait the wedge out
+                    grace = _time.time() + 10
+                    while _time.time() < grace and t.is_alive() and not box:
+                        _time.sleep(1)
+                    if box.get("ok"):
+                        break
+                    if "exc" in box:
+                        last_exc = box["exc"]
+                    # probe-gated retry: don't re-dispatch into a dead relay
                     while not self._relay_ready() and _time.time() < deadline:
                         _time.sleep(10)
             else:

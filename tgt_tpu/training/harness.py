@@ -331,9 +331,16 @@ class Trainer:
         pad_batch_dim's pad-every-key contract would reject; if the padding
         semantics ever change, change BOTH)."""
         if self.mesh is None:
-            return device_batch
-        from tgt_tpu.parallel.mesh import DATA_AXIS, make_global_batch
-        nd = self.mesh.shape[DATA_AXIS]
+            # meshless (single device) still needs the accum padding below:
+            # train_loader sizes host batches at batch_size*accum, so an
+            # UNEVEN final batch would otherwise reach accumulated_grad's
+            # divisibility check unpadded and fail at trace time (round-5
+            # review finding — the mesh branch was the only place padding
+            # happened, and the hermetic suite always has a mesh)
+            nd = 1
+        else:
+            from tgt_tpu.parallel.mesh import DATA_AXIS, make_global_batch
+            nd = self.mesh.shape[DATA_AXIS]
         # pad to a multiple of nd * grad_accum_steps: each of the accum
         # micro-batches (size batch/accum) must itself divide over the data
         # axis — lcm(nd, accum) is NOT enough when gcd(nd, accum) > 1
@@ -369,6 +376,8 @@ class Trainer:
                     return np.concatenate([v, pad], axis=0)
                 return v
             device_batch = {k: pad_rows(v) for k, v in device_batch.items()}
+        if self.mesh is None:
+            return device_batch
         return make_global_batch(self.mesh, device_batch, self.num_pair,
                                  local_batch=(target or None))
 
