@@ -145,6 +145,18 @@ def build_variant(name, *, b, n, d, h, jblk, dtype, interpret):
         return call(make_kernel(rowmax=True)), None
     if name == "opt_both":
         return call(make_kernel(rowmax=True, hoist_g=True)), None
+    if name == "prod":
+        # whatever ops/pallas/triplet_dense.py currently ships (its own
+        # adaptive j-block; extra args accepted-and-ignored so the caller's
+        # uniform input tuple works). The frozen variants above are the
+        # round-5 bodies — keep comparing against THIS to track drift.
+        from tgt_tpu.ops.pallas.triplet_dense import _call_fwd
+
+        def prod_fn(qp, kfl, vp, biasp, gatep, *_unused):
+            return _call_fwd(qp, kfl, vp, biasp, gatep, gated=True,
+                             interpret=interpret)
+
+        return prod_fn, None
     if name == "g2_headsplit":
         # two head-groups of hg=8: panels sliced per group on the XLA side,
         # grid grows a G axis; lanes stay 128-dense (n*hg=384, d*hg=128)
