@@ -82,7 +82,10 @@ def main():
         # proof the scan executes every micro-batch is the per-step losses
         # below moving train-like at ~accum x the micro-step's wall time
         try:
-            ca = jax.jit(step).lower(
+            # step is ALREADY jitted (build_train_step) — lower it directly;
+            # re-wrapping in jax.jit would drop donate_argnums and force a
+            # second full flagship compile just to print flops
+            ca = step.lower(
                 state, sharded[0], jnp.asarray(0), jax.random.fold_in(rng, 0),
                 jnp.asarray(1.0)).compile().cost_analysis()
             ca = ca[0] if isinstance(ca, (list, tuple)) else ca

@@ -150,11 +150,19 @@ def build_variant(name, *, b, n, d, h, jblk, dtype, interpret):
         # adaptive j-block; extra args accepted-and-ignored so the caller's
         # uniform input tuple works). The frozen variants above are the
         # round-5 bodies — keep comparing against THIS to track drift.
-        from tgt_tpu.ops.pallas.triplet_dense import _call_fwd
+        from tgt_tpu.ops.pallas.triplet_dense import _call_fwd, _jpad
 
         def prod_fn(qp, kfl, vp, biasp, gatep, *_unused):
+            # _call_fwd assumes a JBLK-padded j axis (the public entries
+            # pad before calling it) — mirror that here or non-multiple
+            # --n values would silently skip trailing j rows
+            import jax.numpy as jnp
+            njp = _jpad(qp.shape[1])
+            if njp != qp.shape[1]:
+                pj = ((0, 0), (0, njp - qp.shape[1]), (0, 0), (0, 0))
+                qp, kfl, vp = (jnp.pad(x, pj) for x in (qp, kfl, vp))
             return _call_fwd(qp, kfl, vp, biasp, gatep, gated=True,
-                             interpret=interpret)
+                             interpret=interpret)[:, :n]
 
         return prod_fn, None
     if name == "g2_headsplit":

@@ -73,13 +73,15 @@ class _BasePredictor:
         self.mc_vmap_max_nodes = mc_vmap_max_nodes
         self._transform = AddStructuralData()
         self._rng = jax.random.PRNGKey(seed)
-        # serializes device dispatch + the self._rng split across threads:
-        # warmup() abandons a wedged compile thread and retries, and the
-        # abandoned thread may come back to life — without the lock two
-        # threads could race the rng split (correlated MC draws) and
-        # double-dispatch into the single-process TPU tunnel
+        # serializes the self._rng split across threads: warmup() abandons
+        # a wedged compile thread and retries, and the abandoned thread may
+        # come back to life — without the lock the two could race the split
+        # (lost update -> correlated MC draws). Deliberately NOT held over
+        # device dispatch: a wedged dispatch holding it would starve every
+        # retry (the observed round-4 wedge recovered precisely because the
+        # retry dispatched while the first attempt was still stuck)
         import threading as _threading
-        self._dispatch_lock = _threading.Lock()
+        self._rng_lock = _threading.Lock()
         _, self.apply = make_model(self.MODEL)
         self._jitted = jax.jit(self._mc_forward)
 
@@ -140,11 +142,6 @@ class _BasePredictor:
 
     # -- shared batched-dispatch machinery ---------------------------------
     def _run(self, rows: List[Dict], jitted, node_axes: tuple) -> np.ndarray:
-        with self._dispatch_lock:
-            return self._run_locked(rows, jitted, node_axes)
-
-    def _run_locked(self, rows: List[Dict], jitted,
-                    node_axes: tuple) -> np.ndarray:
         """Size-sorted bucketed batching + fully pipelined dispatch around
         an arbitrary jitted (params, feed, rng) -> array function."""
         if not rows:
@@ -160,7 +157,8 @@ class _BasePredictor:
             n_real = len(chunk)
             batch, _ = pad_batch_dim(batch, self.batch_size)
             feed = self._feed_of(batch)
-            self._rng, sub = jax.random.split(self._rng)
+            with self._rng_lock:
+                self._rng, sub = jax.random.split(self._rng)
             # async dispatch: don't block on the result here
             pending.append((idx, jitted(self.params, feed, sub), n_real))
 
@@ -209,8 +207,19 @@ class _BasePredictor:
     @staticmethod
     def _relay_ready() -> bool:
         """True when the TPU relay (if one is in use) accepts connections.
-        On non-tunneled backends (CPU tests, direct TPU) trivially true."""
-        if jax.default_backend() != "axon":
+        On non-tunneled backends (CPU tests, direct TPU) trivially true.
+
+        The tunnel reports jax.default_backend() == "tpu" (NOT "axon" —
+        verified by the promoted configs running compiled Mosaic through
+        it), so tunnel detection keys on the tunnel's own env marker —
+        EXCEPT when the process actually runs on CPU: the container
+        exports the marker unconditionally, and the forced-CPU test mesh
+        must not probe (and wait out) a down relay it never dispatches to."""
+        import os
+        if jax.default_backend() == "cpu":
+            return True
+        if not (os.environ.get("PALLAS_AXON_POOL_IPS")
+                or jax.default_backend() == "axon"):
             return True
         from tgt_tpu.utils.relay import relay_ports_open
         return relay_ports_open()
@@ -264,9 +273,10 @@ class _BasePredictor:
                     # SHORT grace window for the abandoned attempt: a late
                     # success within it is a success and skips the retry; a
                     # late exception improves the diagnostic. Kept short —
-                    # _run's dispatch lock already serializes any overlap
-                    # between a still-wedged attempt and the retry, so
-                    # there is no need to wait the wedge out
+                    # the retry intentionally dispatches even while the
+                    # wedged attempt lives (that overlap is exactly how the
+                    # observed round-4 wedge recovered); only the rng split
+                    # is locked against it
                     grace = _time.time() + 10
                     while _time.time() < grace and t.is_alive() and not box:
                         _time.sleep(1)
