@@ -41,6 +41,12 @@ FEATURES["egt"] = dict(triplet_heads=0)
 # the PUBLISHED TGT-Agx2 architecture: 12 layers x2 weight-shared reps
 FEATURES["agx2"] = dict(triplet_type="aggregate", model_height=12,
                         layer_multiplier=2)
+# in-kernel triplet dropout (round 5): the dense kernel's hash-mask
+# dropout vs the dropout-0 dense kernel vs the jnp path with dropout —
+# quantifies the in-kernel mask cost and the fallback it replaces
+FEATURES["dense"] = dict(use_pallas="dense")
+FEATURES["dense_tdrop"] = dict(use_pallas="dense", triplet_dropout=0.1)
+FEATURES["tdrop"] = dict(triplet_dropout=0.1)
 
 
 def run_one(name, overrides, steps):

@@ -657,3 +657,178 @@ class TestModelIntegration:
                                      seed=1)
         apply(params, exact, cfg)
         assert calls == [32]          # 32 is lane-exact and >= 32: kernel
+
+
+class TestDenseKernelDropout:
+    """In-kernel triplet dropout (round 5): hash-based keep masks applied to
+    the gated weights inside the fused kernel — closes the last dense-kernel
+    fallback (attention_dropout > 0 in training previously fell back to jnp
+    with a warning). The mask is a pure function of (per-b seed, global
+    element index), so the backward reproduces the forward's mask despite
+    partitioning the j grid into different block sizes."""
+
+    RATE = 0.3
+
+    def test_hash_mask_statistics(self):
+        from tgt_tpu.ops.pallas.triplet_dense import _hash_keepf
+        lin = jnp.arange(1 << 17, dtype=jnp.int32)
+        m0 = np.asarray(_hash_keepf(lin, jnp.int32(1234), self.RATE))
+        keep_frac = (m0 > 0).mean()
+        assert abs(keep_frac - (1 - self.RATE)) < 0.01
+        # inverted dropout preserves expectation
+        assert abs(m0.mean() - 1.0) < 0.02
+        # a different seed decorrelates the stream
+        m1 = np.asarray(_hash_keepf(lin, jnp.int32(1235), self.RATE))
+        agree = ((m0 > 0) == (m1 > 0)).mean()
+        expected = (1 - self.RATE) ** 2 + self.RATE ** 2
+        assert abs(agree - expected) < 0.02
+
+    @staticmethod
+    def _core_inputs(b=2, n=16, h=8, d=16, rate=0.3):
+        ks = jax.random.split(jax.random.PRNGKey(7), 6)
+        q = jax.random.normal(ks[0], (b, n, n, d, h)) * 0.4
+        k = jax.random.normal(ks[1], (b, n, n, d, h)) * 0.4
+        v = jax.random.normal(ks[2], (b, n, n, d, h)) * 0.4
+        bias = jax.random.normal(ks[3], (b, n, n, h)) * 0.4
+        gate = jax.random.normal(ks[4], (b, n, n, h)) * 0.4
+        seed = jax.random.randint(ks[5], (b, 1), 0,
+                                  jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        return q, k, v, bias, gate, seed
+
+    @staticmethod
+    def _core_oracle(q, k, v, bias, gate, seed, rate):
+        """Pure-jnp math of _dense_core with the SAME injected hash mask."""
+        from tgt_tpu.ops.pallas.triplet_dense import _hash_keepf
+        b, n, nj, d, h = q.shape
+        s = jnp.einsum("bijdh,bjkdh->bjikh", q, k) + bias[:, None]
+        pn = jax.nn.softmax(s, axis=3)
+        a = pn * jax.nn.sigmoid(gate)[:, None]
+        jj = jnp.arange(nj, dtype=jnp.int32)[None, :, None, None, None]
+        ii = jnp.arange(n, dtype=jnp.int32)[None, None, :, None, None]
+        kk = jnp.arange(n, dtype=jnp.int32)[None, None, None, :, None]
+        hh = jnp.arange(h, dtype=jnp.int32)[None, None, None, None, :]
+        lin = (jj * n + ii) * (n * h) + kk * h + hh
+        maskf = _hash_keepf(lin, seed[:, 0][:, None, None, None, None], rate)
+        va = jnp.einsum("bjikh,bjkdh->bjidh", a * maskf, v)
+        return va.reshape(b, nj, n, d * h)
+
+    def test_core_fwd_and_grads_match_injected_mask_oracle(self):
+        """_dense_core with dropout == the einsum oracle using the same
+        mask, for the forward AND every input gradient (the grads passing
+        proves the backward kernel regenerates the forward's exact mask)."""
+        from tgt_tpu.ops.pallas.triplet_dense import _dense_core
+        rate = self.RATE
+        q, k, v, bias, gate, seed = self._core_inputs(rate=rate)
+
+        got = _dense_core(q, k, v, bias, gate, seed, True, True, rate)
+        ref = self._core_oracle(q, k, v, bias, gate, seed, rate)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+        def loss_kern(*args):
+            return (_dense_core(*args, seed, True, True, rate) ** 2).sum()
+
+        def loss_ref(*args):
+            return (self._core_oracle(*args, seed, rate) ** 2).sum()
+
+        g_kern = jax.grad(loss_kern, argnums=(0, 1, 2, 3, 4))(
+            q, k, v, bias, gate)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+            q, k, v, bias, gate)
+        for name, a, b_ in zip("qkv bias gate".split() + ["4", "5"],
+                               jax.tree.leaves(g_ref),
+                               jax.tree.leaves(g_kern)):
+            a, b_ = np.asarray(a), np.asarray(b_)
+            scale = np.abs(a).max() + 1e-9
+            np.testing.assert_allclose(b_ / scale, a / scale, rtol=0,
+                                       atol=2e-5, err_msg=name)
+
+    # (24, 16) is lane-dense (24*16=384) but NOT a JBLK multiple: it
+    # exercises the j-padded kernel with dropout (padded j rows draw
+    # masks too; their cotangents are zero so grads stay exact)
+    @pytest.mark.parametrize("n,h", [(16, 8), (24, 16)])
+    def test_public_path_matches_jnp_with_injected_masks(self, monkeypatch,
+                                                         n, h):
+        """triplet_attention(use_pallas='dense', dropout>0) == the jnp path
+        when the jnp path's dropout is monkeypatched to draw the kernel's
+        hash masks (same seed derivation, same per-direction rng splits) —
+        full-path equality incl. both directions and the node mask."""
+        import tgt_tpu.ops.triplet as tmod
+        from tgt_tpu.ops.pallas.triplet_dense import _hash_keepf
+        rate, b, w = self.RATE, 2, 128
+        p = triplet_attention_init(jax.random.PRNGKey(0), w, h, gated=True)
+        e = jax.random.normal(jax.random.PRNGKey(2), (b, n, n, w)) * 0.5
+        nm = np.ones((b, n), np.float32)
+        nm[1, n - 3:] = 0
+        mask = additive_mask_from_node_mask(jnp.asarray(nm))
+        rng = jax.random.PRNGKey(42)
+
+        def hash_dropout(r_dir, a, rate_, deterministic):
+            # a: (b, j, h, i, k) native dot-order — same mask the kernel
+            # draws for (seed[b], j, i, k*h+hh)
+            assert not deterministic and rate_ == rate
+            bb, jj_n, hh_n, ii_n, kk_n = a.shape
+            seeds = jax.random.randint(r_dir, (bb, 1), 0,
+                                       jnp.iinfo(jnp.int32).max,
+                                       dtype=jnp.int32)
+            jj = jnp.arange(jj_n, dtype=jnp.int32)[:, None, None, None]
+            hh = jnp.arange(hh_n, dtype=jnp.int32)[None, :, None, None]
+            ii = jnp.arange(ii_n, dtype=jnp.int32)[None, None, :, None]
+            kk = jnp.arange(kk_n, dtype=jnp.int32)[None, None, None, :]
+            lin = (jj * ii_n + ii) * (kk_n * hh_n) + kk * hh_n + hh
+            maskf = _hash_keepf(lin[None],
+                                seeds[:, 0][:, None, None, None, None],
+                                rate_)
+            return a * maskf
+
+        monkeypatch.setattr(tmod, "dropout", hash_dropout)
+        ref = triplet_attention(p, e, mask, num_heads=h,
+                                attention_dropout=rate, deterministic=False,
+                                rng=rng)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # a fallback would warn -> fail
+            got = triplet_attention(p, e, mask, num_heads=h,
+                                    attention_dropout=rate,
+                                    deterministic=False,
+                                    rng=rng, use_pallas="dense")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+        def loss(fn_kwargs, pp, ee):
+            return (triplet_attention(pp, ee, mask, num_heads=h,
+                                      attention_dropout=rate,
+                                      deterministic=False, rng=rng,
+                                      **fn_kwargs) ** 2).sum()
+
+        g_ref = jax.grad(loss, argnums=(1, 2))({}, p, e)
+        g_den = jax.grad(loss, argnums=(1, 2))({"use_pallas": "dense"}, p, e)
+        for a, b_ in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_den)):
+            a, b_ = np.asarray(a), np.asarray(b_)
+            scale = np.abs(a).max() + 1e-9
+            np.testing.assert_allclose(b_ / scale, a / scale, rtol=0,
+                                       atol=2e-4)
+
+    def test_no_fallback_warning_and_rate0_unchanged(self):
+        """dropout>0 with use_pallas='dense' must NOT warn/fall back any
+        more; dropout=0 in training mode must stay bitwise identical to the
+        deterministic kernel program (no seed input is added)."""
+        b, n, w, h = 2, 16, 128, 8
+        p = triplet_attention_init(jax.random.PRNGKey(0), w, h, gated=True)
+        e = jax.random.normal(jax.random.PRNGKey(2), (b, n, n, w)) * 0.5
+        mask = jnp.zeros((b, n, n, 1))
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            out = triplet_attention(p, e, mask, num_heads=h,
+                                    attention_dropout=self.RATE,
+                                    deterministic=False,
+                                    rng=jax.random.PRNGKey(1),
+                                    use_pallas="dense")
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+        det = triplet_attention(p, e, mask, num_heads=h, use_pallas="dense")
+        assert not np.allclose(np.asarray(out), np.asarray(det))
+        # rate 0, training mode: exact deterministic program
+        out0 = triplet_attention(p, e, mask, num_heads=h,
+                                 attention_dropout=0.0, deterministic=False,
+                                 rng=jax.random.PRNGKey(1),
+                                 use_pallas="dense")
+        np.testing.assert_array_equal(np.asarray(out0), np.asarray(det))

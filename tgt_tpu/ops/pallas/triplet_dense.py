@@ -138,6 +138,44 @@ def _seg_max(s, h: int, n: int):
     return m
 
 
+def _hash_keepf(lin, seed, rate: float):
+    """Inverted-dropout keep mask from a stateless integer hash.
+
+    `lin` int32 element indices (any shape), `seed` int32 scalar (traced),
+    `rate` static python float. Returns f32 of {0, 1/(1-rate)}.
+
+    murmur3's 32-bit finalizer over (lin mixed with seed): wrapping int32
+    multiplies + LOGICAL right shifts — all plain VPU integer ops, so the
+    same code lowers through Mosaic on TPU AND the Pallas interpreter on
+    CPU (pltpu.prng_random_bits has no interpreter lowering, which is what
+    blocked the stateful design — see docs/DESIGN.md round-5 note). The
+    mask is a pure function of (seed, element index): the backward kernel
+    reproduces the forward's mask exactly even though it partitions the j
+    grid into different block sizes, and masks never touch HBM."""
+    h = lin * jnp.int32(-1640531527) + seed          # 0x9E3779B9 golden mix
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    h = h * jnp.int32(-2048144789)                   # 0x85EBCA6B
+    h = h ^ jax.lax.shift_right_logical(h, 13)
+    h = h * jnp.int32(-1028477387)                   # 0xC2B2AE35
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    u = h & jnp.int32(0x7FFFFFFF)                    # uniform in [0, 2^31)
+    keep = 1.0 - rate
+    thresh = jnp.int32(min(int(keep * 2.0**31), 0x7FFFFFFF))
+    return jnp.where(u < thresh, jnp.float32(1.0 / keep), jnp.float32(0.0))
+
+
+def _keep_tile(seed, j_global, n: int, kh: int, rate: float):
+    """(n, kh) keep mask for one j iteration: element (i, k*H+h) of j-row
+    `j_global` hashes index (j_global*n + i)*kh + c under this batch row's
+    `seed` (uniqueness across b comes from per-b seeds, which keeps the
+    mask invariant under batch sharding — the kernel's b index is shard-
+    LOCAL under shard_map, a per-b seed panel is not)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, kh), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, kh), 1)
+    lin = (j_global * n + i) * kh + c
+    return _hash_keepf(lin, seed, rate)
+
+
 def _dot(a, b, dtype):
     return jax.lax.dot_general(
         a.astype(dtype), b.astype(dtype), (((1,), (0,)), ((), ())),
@@ -181,10 +219,15 @@ def _attn_tile(qp, kfl, biasp, g, h, n, dtype, qk_mask):
     return p, recip, a
 
 
-def _fwd_kernel(qp_ref, kfl_ref, vp_ref, biasp_ref, gatep_ref, va_ref, *,
-                h: int, gated: bool):
+def _fwd_kernel(*refs, h: int, gated: bool, rate: float = 0.0):
+    if rate > 0.0:
+        seed_ref, qp_ref, kfl_ref, vp_ref, biasp_ref, gatep_ref, va_ref = refs
+    else:
+        qp_ref, kfl_ref, vp_ref, biasp_ref, gatep_ref, va_ref = refs
+        seed_ref = None
     n = qp_ref.shape[2]
     dh = qp_ref.shape[3]
+    jblk = qp_ref.shape[1]
     dtype = qp_ref.dtype
     biasp = biasp_ref[0].astype(jnp.float32)
     # sigmoid(gate) hoisted: the gate panel is per-b, shared by every j of
@@ -192,10 +235,17 @@ def _fwd_kernel(qp_ref, kfl_ref, vp_ref, biasp_ref, gatep_ref, va_ref, *,
     g = (jax.nn.sigmoid(gatep_ref[0].astype(jnp.float32)) if gated else None)
     qk_mask = _hmask(dh, n * h, h, dtype)
     av_mask = _hmask(n * h, dh, h, dtype)
+    # hoisted: program_id has no lowering INSIDE a fori_loop body on the
+    # interpret path (it works at kernel top level, cf. the bwd's pl.when)
+    j_base = pl.program_id(1) * jblk if rate > 0.0 else 0
 
     def body(j, _):
         _, recip, a = _attn_tile(qp_ref[0, j], kfl_ref[0, j], biasp, g,
                                  h, n, dtype, qk_mask)
+        if rate > 0.0:
+            # dropout on the gated weights (jnp-path order: softmax, gate,
+            # dropout); commutes with the per-(i,h) recip normalization
+            a = a * _keep_tile(seed_ref[0, 0], j_base + j, n, n * h, rate)
         vbig = _brep(vp_ref[0, j], h) * av_mask
         va_u = _dot(a, vbig, dtype)
         va_ref[0, j] = (va_u * pltpu.repeat(recip, dh // h, axis=1)
@@ -205,11 +255,18 @@ def _fwd_kernel(qp_ref, kfl_ref, vp_ref, biasp_ref, gatep_ref, va_ref, *,
     jax.lax.fori_loop(0, qp_ref.shape[1], body, 0)
 
 
-def _bwd_kernel(qp_ref, kfl_ref, vp_ref, kp_ref, vfl_ref, biasp_ref,
-                gatep_ref, dva_ref, dqp_ref, dkp_ref, dvp_ref, dbias_ref,
-                dgate_ref, *, h: int, gated: bool):
+def _bwd_kernel(*refs, h: int, gated: bool, rate: float = 0.0):
+    if rate > 0.0:
+        (seed_ref, qp_ref, kfl_ref, vp_ref, kp_ref, vfl_ref, biasp_ref,
+         gatep_ref, dva_ref, dqp_ref, dkp_ref, dvp_ref, dbias_ref,
+         dgate_ref) = refs
+    else:
+        (qp_ref, kfl_ref, vp_ref, kp_ref, vfl_ref, biasp_ref, gatep_ref,
+         dva_ref, dqp_ref, dkp_ref, dvp_ref, dbias_ref, dgate_ref) = refs
+        seed_ref = None
     n = qp_ref.shape[2]
     dh = qp_ref.shape[3]
+    jblk = qp_ref.shape[1]
     d = dh // h
     dtype = qp_ref.dtype
     biasp = biasp_ref[0].astype(jnp.float32)
@@ -219,6 +276,8 @@ def _bwd_kernel(qp_ref, kfl_ref, vp_ref, kp_ref, vfl_ref, biasp_ref,
     sel = _sel(n * h, h, jnp.float32)
     # d sigmoid = g*(1-g): j-invariant like g itself, hoist out of the loop
     g1mg = g * (1.0 - g) if gated else None
+    # hoisted out of the loop body like the forward's (interpret lowering)
+    j_base = pl.program_id(1) * jblk if rate > 0.0 else 0
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -237,6 +296,13 @@ def _bwd_kernel(qp_ref, kfl_ref, vp_ref, kp_ref, vfl_ref, biasp_ref,
         # dA = dva @ V^T (h-block-diag from the (d, k*H+h) panel)
         vtbig = _brep(vfl_ref[0, j], h) * qk_mask
         da = _dot(dva, vtbig, dtype)
+        if rate > 0.0:
+            # the index hash is partition-independent, so this reproduces
+            # the forward's mask exactly despite the backward's different
+            # j-block size; mask the dV operand AND the dA chain
+            keepf = _keep_tile(seed_ref[0, 0], j_base + j, n, n * h, rate)
+            a = a * keepf
+            da = da * keepf
         if gated:
             dgate_ref[0] += (da * pn * g1mg).astype(dgate_ref.dtype)
             dp = da * g
@@ -287,13 +353,22 @@ def _specs(n, d, dh, kh, jblk=JBLK):
     return blk, kfl_blk, bias_blk
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _dense_core(q, k, v, bias, gate, gated, interpret):
-    va, _ = _dense_core_fwd(q, k, v, bias, gate, gated, interpret)
+def _seed_spec():
+    """BlockSpec for the per-batch-row (b, 1) int32 dropout-seed panel:
+    one (1, 1) SMEM scalar per b grid row, shared by every j block."""
+    return pl.BlockSpec((1, 1), lambda bb, jc: (bb, 0),
+                        memory_space=pltpu.SMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _dense_core(q, k, v, bias, gate, seed, gated, interpret, rate=0.0):
+    va, _ = _dense_core_fwd(q, k, v, bias, gate, seed, gated, interpret,
+                            rate)
     return va
 
 
-def _call_fwd(qp, kfl, vp, biasp, gatep, gated, interpret):
+def _call_fwd(qp, kfl, vp, biasp, gatep, gated, interpret, seed=None,
+              rate=0.0):
     b, nj, n, dh = qp.shape
     kh = biasp.shape[-1]
     h = kh // n
@@ -301,26 +376,32 @@ def _call_fwd(qp, kfl, vp, biasp, gatep, gated, interpret):
                       itemsize=qp.dtype.itemsize)
     blk, kfl_blk, bias_blk = _specs(n, dh // h, dh, kh, jblk)
     gate_in = gatep if gated else biasp  # placeholder ref when ungated
+    in_specs = [blk, kfl_blk, blk, bias_blk, bias_blk]
+    inputs = (qp, kfl, vp, biasp, gate_in)
+    if rate > 0.0:  # static: dropout-0 programs stay byte-identical
+        in_specs = [_seed_spec()] + in_specs
+        inputs = (seed,) + inputs
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, h=h, gated=gated),
+        functools.partial(_fwd_kernel, h=h, gated=gated, rate=rate),
         grid=(b, nj // jblk),
-        in_specs=[blk, kfl_blk, blk, bias_blk, bias_blk],
+        in_specs=in_specs,
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct(qp.shape, qp.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(qp, kfl, vp, biasp, gate_in)
+    )(*inputs)
 
 
-def _dense_core_fwd(q, k, v, bias, gate, gated, interpret):
+def _dense_core_fwd(q, k, v, bias, gate, seed, gated, interpret, rate=0.0):
     qp, kfl, vp, biasp, gatep = _pack(q, k, v, bias, gate)
-    va = _call_fwd(qp, kfl, vp, biasp, gatep, gated, interpret)
-    return va, (q, k, v, bias, gate)
+    va = _call_fwd(qp, kfl, vp, biasp, gatep, gated, interpret,
+                   seed=seed, rate=rate)
+    return va, (q, k, v, bias, gate, seed)
 
 
-def _dense_core_bwd(gated, interpret, res, dva):
-    q, k, v, bias, gate = res
+def _dense_core_bwd(gated, interpret, rate, res, dva):
+    q, k, v, bias, gate, seed = res
     b, n, nj, d, h = q.shape
     qp, kfl, vp, biasp, gatep = _pack(q, k, v, bias, gate)
     kp = k.reshape(b, nj, n, d * h)                            # [b,j,k,(dh)]
@@ -330,10 +411,15 @@ def _dense_core_bwd(gated, interpret, res, dva):
                       itemsize=q.dtype.itemsize)
     blk, kfl_blk, bias_blk = _specs(n, d, d * h, kh, jblk)
     gate_in = gatep if gated else biasp
+    in_specs = [blk, kfl_blk, blk, blk, kfl_blk, bias_blk, bias_blk, blk]
+    inputs = (qp, kfl, vp, kp, vfl, biasp, gate_in, dva)
+    if rate > 0.0:
+        in_specs = [_seed_spec()] + in_specs
+        inputs = (seed,) + inputs
     dqp, dkp, dvp, dbias, dgate = pl.pallas_call(
-        functools.partial(_bwd_kernel, h=h, gated=gated),
+        functools.partial(_bwd_kernel, h=h, gated=gated, rate=rate),
         grid=(b, nj // jblk),
-        in_specs=[blk, kfl_blk, blk, blk, kfl_blk, bias_blk, bias_blk, blk],
+        in_specs=in_specs,
         out_specs=[blk, blk, blk, bias_blk, bias_blk],
         out_shape=[
             jax.ShapeDtypeStruct(qp.shape, qp.dtype),
@@ -345,7 +431,7 @@ def _dense_core_bwd(gated, interpret, res, dva):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(qp, kfl, vp, kp, vfl, biasp, gate_in, dva)
+    )(*inputs)
 
     # unpack to the (possibly j-padded) primal layouts
     dq = dqp.reshape(b, nj, n, d, h).transpose(0, 2, 1, 3, 4)
@@ -353,7 +439,7 @@ def _dense_core_bwd(gated, interpret, res, dva):
     dv = dvp.reshape(b, nj, n, d, h)
     dbias = dbias.reshape(b, n, n, h).astype(bias.dtype)
     dgate = (dgate.reshape(b, n, n, h).astype(gate.dtype) if gated else None)
-    return dq, dk, dv, dbias, dgate
+    return dq, dk, dv, dbias, dgate, None
 
 
 _dense_core.defvjp(_dense_core_fwd, _dense_core_bwd)
@@ -585,19 +671,40 @@ def dense_supported(n: int, edge_width: int, num_heads: int, *,
 
 
 def triplet_attention_dense(p, e, mask, *, num_heads: int, gated: bool = True,
+                            attention_dropout: float = 0.0,
+                            deterministic: bool = True, rng=None,
                             interpret=None) -> jnp.ndarray:
     """Drop-in lane-dense fused triplet attention (both directions).
 
-    Same parameters/semantics as ops/triplet.triplet_attention with
-    attention dropout 0. Projections + split lin_O run in XLA; the whole
-    N^3 logits/softmax/gate/AV chain runs in the kernel with zero N^3 HBM
-    traffic.
+    Same parameters/semantics as ops/triplet.triplet_attention — including
+    attention dropout, which runs IN-KERNEL: a hash-based keep mask
+    (`_hash_keepf`) applied to the gated weights in the jnp path's order
+    (softmax, gate, dropout), drawn per direction from an rng split like
+    the jnp path (the mask BITS differ from jax.random.bernoulli's — same
+    Bernoulli(1-rate) distribution, different stream — so dropout>0 runs
+    are statistically, not bitwise, equivalent across the two paths; both
+    paths agree bitwise at dropout 0). Projections + split lin_O run in
+    XLA; the whole N^3 logits/softmax/gate/AV(/dropout) chain runs in the
+    kernel with zero N^3 HBM traffic.
     """
     from tgt_tpu.ops.common import layernorm, linear
 
     b, n, _, w = e.shape
     h = num_heads
     interpret = _resolve_interpret(interpret)
+    rate = float(attention_dropout) if not deterministic else 0.0
+    if rate > 0.0:
+        # per-direction rng split mirrors the jnp path; per-BATCH-ROW seeds
+        # (not one scalar) so masks decorrelate across samples even under
+        # a batch-sharded shard_map, where the kernel's b index is local
+        r_in, r_out = jax.random.split(rng)
+        seeds = {
+            which: jax.random.randint(r, (b, 1), 0, jnp.iinfo(jnp.int32).max,
+                                      dtype=jnp.int32)
+            for which, r in (("in", r_in), ("out", r_out))
+        }
+    else:
+        seeds = {"in": None, "out": None}
     reason = dense_unsupported_reason(n, w, h, itemsize=e.dtype.itemsize,
                                       bwd_nblocks=9,
                                       check_vmem=not interpret)
@@ -648,10 +755,17 @@ def triplet_attention_dense(p, e, mask, *, num_heads: int, gated: bool = True,
             q = jnp.pad(q, ((0, 0), (0, 0), pj, (0, 0), (0, 0)))
             k = jnp.pad(k, ((0, 0), pj, (0, 0), (0, 0), (0, 0)))
             v = jnp.pad(v, ((0, 0), pj, (0, 0), (0, 0), (0, 0)))
-        core = _maybe_shard_map(
-            lambda q_, k_, v_, b_, g_: _dense_core(q_, k_, v_, b_, g_,
-                                                   gated, interpret), 5)
-        va = checkpoint_name(core(q, k, v, bias, gate)[:, :n], "tri_va")
+        if rate > 0.0:
+            core = _maybe_shard_map(
+                lambda q_, k_, v_, b_, g_, s_: _dense_core(
+                    q_, k_, v_, b_, g_, s_, gated, interpret, rate), 6)
+            va = core(q, k, v, bias, gate, seeds[which])
+        else:
+            core = _maybe_shard_map(
+                lambda q_, k_, v_, b_, g_: _dense_core(
+                    q_, k_, v_, b_, g_, None, gated, interpret), 5)
+            va = core(q, k, v, bias, gate)
+        va = checkpoint_name(va[:, :n], "tri_va")
         # va: (b, j, i, (d*H+h)) -> contract split lin_O -> (b, j, i, w)
         va = va.reshape(b, n, n, d, h)
         return jnp.einsum("bjidh,dhw->bjiw", va, w_dir)

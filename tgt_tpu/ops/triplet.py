@@ -273,32 +273,37 @@ def triplet_attention_init(rng: jax.Array, edge_width: int, num_heads: int,
 
 def _triplet_attention_impl(p, e, mask, *, num_heads, gated, attention_dropout,
                             deterministic, rng, use_pallas=False):
-    if use_pallas and (deterministic or attention_dropout == 0.0):
-        if use_pallas == "dense":
-            from tgt_tpu.ops.pallas.triplet_dense import (
-                dense_unsupported_reason, triplet_attention_dense)
-            reason = dense_unsupported_reason(
-                e.shape[1], e.shape[-1], num_heads,
-                itemsize=e.dtype.itemsize, bwd_nblocks=9,
-                check_vmem=jax.default_backend() == "tpu")
-            if reason is None:
-                return triplet_attention_dense(p, e, mask,
-                                               num_heads=num_heads,
-                                               gated=gated)
-            # unsupported geometry: fall through to the jnp path
-            _warn_pallas_fallback(reason)
-        else:
-            from tgt_tpu.ops.pallas.triplet_attention import (
-                triplet_attention_fused)
-            return triplet_attention_fused(p, e, mask, num_heads=num_heads,
-                                           gated=gated)
+    if use_pallas == "dense":
+        from tgt_tpu.ops.pallas.triplet_dense import (
+            dense_unsupported_reason, triplet_attention_dense)
+        reason = dense_unsupported_reason(
+            e.shape[1], e.shape[-1], num_heads,
+            itemsize=e.dtype.itemsize, bwd_nblocks=9,
+            check_vmem=jax.default_backend() == "tpu")
+        if reason is None:
+            # attention dropout runs IN-KERNEL (hash-based keep mask, same
+            # Bernoulli(1-rate) law as the jnp path's bernoulli draws but a
+            # different bit stream) — no dropout fallback for 'dense'
+            return triplet_attention_dense(p, e, mask,
+                                           num_heads=num_heads,
+                                           gated=gated,
+                                           attention_dropout=attention_dropout,
+                                           deterministic=deterministic,
+                                           rng=rng)
+        # unsupported geometry: fall through to the jnp path
+        _warn_pallas_fallback(reason)
+    elif use_pallas and (deterministic or attention_dropout == 0.0):
+        from tgt_tpu.ops.pallas.triplet_attention import (
+            triplet_attention_fused)
+        return triplet_attention_fused(p, e, mask, num_heads=num_heads,
+                                       gated=gated)
     elif use_pallas:
-        # kernel requested but attention_dropout > 0 in training mode — the
-        # fused kernels don't implement in-kernel dropout
+        # legacy fused kernel requested but attention_dropout > 0 in
+        # training mode — only the dense kernel implements in-kernel dropout
         _warn_pallas_fallback(
             f"triplet attention_dropout={attention_dropout} > 0 in training "
-            f"mode (the fused kernels run without in-kernel dropout; set "
-            f"triplet_dropout: 0 to keep the kernel)")
+            f"mode (the legacy fused kernel runs without in-kernel dropout; "
+            f"set triplet_dropout: 0 or use_pallas: dense to keep a kernel)")
     b, n, _, w = e.shape
     d = w // num_heads
     scale = d ** -0.5
